@@ -1,0 +1,46 @@
+package graft.dedup
+
+/** Knobs for the near-duplicate pipeline.
+  *
+  * Defaults mirror the reference (JiLisx/similarity_jaccard):
+  *  - `minDf = 2`: vocabulary minimum document frequency
+  *    (code/main_script.py:57, code/Stage01PreprocessData.py:231).
+  *  - `shingleK = 1`: the reference operates on plain token sets
+  *    (code/Stage01PreprocessData.py:83-98); for source code set k>1 to use
+  *    k-token shingles.
+  *  - 6-dp HALF_EVEN rounding and `sim > 0` are fixed semantics (not knobs),
+  *    see [[Jaccard]] (code/Stage05ComputeSimilarity.py:130-132).
+  *
+  * Scale knobs (no reference equivalent — the reference is single-node):
+  *  - `numPerms = 128` MinHash permutations (BASELINE.json north_star).
+  *  - `bands x rowsPerBand` = 32 x 4 over the 128-perm signature: the LSH
+  *    S-curve crosses 0.5 at (1/32)^(1/4) ~= 0.42, giving capture probability
+  *    ~0.9998 at the default dedup threshold 0.7 — comfortably above the
+  *    recall >= 0.99 target for pairs at or above `threshold`.
+  *  - `maxDf`: drop tokens/shingles present in more than this fraction of the
+  *    corpus docs (boilerplate: license headers, common imports). The inverse
+  *    of the reference's min-df prune (code/Stage01PreprocessData.py:139-152);
+  *    disabled (1.0) by default to preserve exact reference parity.
+  *  - `maxBucket`: LSH band buckets larger than this are salted into
+  *    sub-buckets for pair generation so a single hot band hash cannot
+  *    produce an O(B^2) straggler task.
+  */
+final case class Config(
+    groupCol: String = "lang",
+    shingleK: Int = 1,
+    minDf: Int = 2,
+    maxDf: Double = 1.0,
+    numPerms: Int = 128,
+    bands: Int = 32,
+    threshold: Double = 0.7,
+    maxBucket: Int = 2000,
+    topN: Option[Int] = None,
+    seed: Long = 42L
+) {
+  require(numPerms % bands == 0, s"bands=$bands must divide numPerms=$numPerms")
+  def rowsPerBand: Int = numPerms / bands
+
+  /** Probability that LSH banding emits a pair with true Jaccard s. */
+  def captureProbability(s: Double): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand.toDouble), bands.toDouble)
+}

@@ -1,0 +1,103 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** A file of the input table shape (BASELINE.json input_hint). */
+final case class CodeFile(repo: String, path: String, commit: String, lang: String, content: String)
+
+/** Deterministic synthetic source-code corpus (FIXTURES.md §1) with planted
+  * duplicate classes. Pure function of (i, seed) — generation distributes
+  * over `spark.range`, so bench corpora of any size never bottleneck on the
+  * driver and two runs (or two parallelism levels) see identical bytes.
+  *
+  * Planted structure, by file index i:
+  *  - i % 10 == 1 or 2 (i >= 10): EXACT duplicate of base file i - i%10
+  *  - i % 10 == 3      (i >= 10): NEAR duplicate of the base (10% of token
+  *    positions mutated => expected Jaccard ~0.8, above the 0.7 threshold)
+  *  - i % 50 == 7      (i >= 10): SUBSTRING clone — the base file's content
+  *    embedded inside ~2x filler (below Jaccard threshold; only the
+  *    substring detector should link it)
+  *  - ~30% of files carry a fixed 40-token license header (boilerplate skew
+  *    for the max-df cap / hot-bucket paths)
+  *  - everything else: singleton
+  *
+  * Duplicates share the base file's `lang` so planted pairs stay within one
+  * group (grouping semantics, code/Stage04SplitDataPerYear.py:40-45).
+  */
+object CorpusGen {
+
+  private val langs = Array("scala", "java", "py", "go")
+  private val ext = Map("scala" -> "scala", "java" -> "java", "py" -> "py", "go" -> "go")
+
+  private val header: String =
+    (0 until 40).map(k => s"license hdr${k} boilerplate").mkString(" ")
+
+  // 400 identifier-ish pool tokens + a few stopwords/digits to exercise filters
+  private val pool: Array[String] =
+    (0 until 400).map(k => s"ident${k}") .toArray ++
+      Array("the", "and", "of", "to", "1", "22", "12-34", "a")
+
+  private def rng(seed: Long): () => Long = {
+    var s = seed
+    () => {
+      s += 0x9e3779b97f4a7c15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+  }
+
+  private def baseTokens(baseId: Long, seed: Long): Array[String] = {
+    val r = rng(seed ^ (baseId * 0x5851f42d4c957f2dL))
+    val n = 40 + (math.abs(r()) % 80).toInt
+    Array.tabulate(n)(_ => pool((math.abs(r()) % pool.length).toInt))
+  }
+
+  private def mutate(tokens: Array[String], mutSeed: Long): Array[String] = {
+    val r = rng(mutSeed)
+    val out = tokens.clone()
+    val m = math.max(1, tokens.length / 10)
+    var k = 0
+    while (k < m) {
+      val pos = (math.abs(r()) % out.length).toInt
+      out(pos) = s"mut${math.abs(r()) % 10000}"
+      k += 1
+    }
+    out
+  }
+
+  /** Pure generator: file i of a corpus of size n. */
+  def file(i: Long, seed: Long): CodeFile = {
+    val mod = i % 10
+    val isDerived = i >= 10 && (mod == 1 || mod == 2 || mod == 3 || i % 50 == 7)
+    val baseId = if (isDerived) i - mod else i
+    // base ids are multiples of 10 — divide first so every lang gets classes
+    val lang = langs(((baseId / 10) % langs.length).toInt)
+    val base = baseTokens(baseId, seed)
+
+    val body: Array[String] =
+      if (i >= 10 && (mod == 1 || mod == 2)) base
+      else if (i >= 10 && mod == 3) mutate(base, seed ^ i)
+      else if (i >= 10 && i % 50 == 7) {
+        val r = rng(seed ^ (i * 31))
+        val fillerA = Array.tabulate(base.length)(_ => pool((math.abs(r()) % pool.length).toInt))
+        val fillerB = Array.tabulate(base.length)(_ => pool((math.abs(r()) % pool.length).toInt))
+        fillerA ++ base ++ fillerB
+      } else base
+
+    val withHeader = if (baseId % 3 == 0) header + " " + body.mkString(" ") else body.mkString(" ")
+    val repo = f"repo${i / 100}%04d"
+    val commit = f"${(i * 0x9e3779b97f4a7c15L) & 0xffffffffffL}%010x"
+    CodeFile(repo, f"src/f$i%06d.${ext(lang)}", commit, lang, withHeader)
+  }
+
+  def corpus(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[CodeFile] = {
+    import spark.implicits._
+    spark.range(n).map(i => file(i, seed))
+  }
+
+  /** Driver-side variant for tiny unit-test corpora. */
+  def corpusLocal(n: Int, seed: Long = 42L): Seq[CodeFile] =
+    (0 until n).map(i => file(i.toLong, seed))
+}

@@ -1,0 +1,63 @@
+package graft.dedup
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Deterministic dense Long id assignment at cluster scale.
+  *
+  * The reference assigns ids by line position in a single file
+  * (code/Stage02CodifyIdxPatents.py:61-85) — inherently single-node. The
+  * Spark-native equivalent must avoid both `monotonically_increasing_id`
+  * (nondeterministic under retries / partition changes) and a global
+  * single-partition `row_number()` window (all rows through one task).
+  *
+  * Strategy (the classic two-pass dense-rank):
+  *  1. range-repartition + sort within partitions on the (unique) sort keys —
+  *     a real shuffle, scales to any row count;
+  *  2. one light job counts rows per partition, the driver folds counts into
+  *     per-partition start offsets (O(#partitions) driver state);
+  *  3. mapPartitions stamps offset + local index.
+  *
+  * Deterministic as long as the sort keys are globally unique: range
+  * boundaries only move rows between partitions, never change the global
+  * sorted order, so ids are a pure function of the input rows.
+  */
+object Ids {
+
+  def assignDense(df: DataFrame, sortCols: Seq[String], idCol: String): DataFrame = {
+    val cols = sortCols.map(col)
+    // persist: the count job and the stamping job MUST see the same physical
+    // partitioning — without it each action re-samples range boundaries and
+    // the per-partition offsets would not line up.
+    val sorted = df
+      .repartitionByRange(cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val counts: Array[(Int, Long)] = sorted
+      .groupBy(spark_partition_id().as("pid"))
+      .count()
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      counts.map { case (pid, n) => val o = (pid, acc); acc += n; o }.toMap
+    }
+    val bOffsets = df.sparkSession.sparkContext.broadcast(offsets)
+
+    val outSchema = StructType(sorted.schema.fields :+ StructField(idCol, LongType, nullable = false))
+    sorted.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      val start = bOffsets.value.getOrElse(pid, 0L)
+      var i = -1L
+      it.map { r =>
+        i += 1
+        Row.fromSeq(r.toSeq :+ (start + i))
+      }
+    }(Encoders.row(outSchema))
+  }
+}

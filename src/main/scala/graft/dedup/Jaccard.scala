@@ -1,0 +1,71 @@
+package graft.dedup
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** Exact set-Jaccard verification kernel.
+  *
+  * Semantics from the reference inner loop
+  * (code/Stage05ComputeSimilarity.py:113-140):
+  *   sim = |A n B| / (|A| + |B| - |A n B|), rounded to 6 decimals with
+  *   Python `round` (banker's / HALF_EVEN on the exact binary double),
+  *   pairs kept only when sim > 0.
+  *
+  * `new BigDecimal(double)` (exact binary expansion, NOT `valueOf`) +
+  * HALF_EVEN reproduces CPython's `round(float, 6)` bit-for-bit; Spark's
+  * built-in `round()` is HALF_UP and must not be used on this path.
+  *
+  * The intersection is a two-pointer merge over the sorted int arrays —
+  * O(|A|+|B|), allocation-free — replacing the reference's O(|A|*|B|)
+  * membership loop (code/Stage05ComputeSimilarity.py:119-122).
+  */
+object Jaccard {
+
+  def intersectSorted(a: Array[Int], b: Array[Int]): Int = {
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  def round6(d: Double): Double =
+    new JBigDecimal(d).setScale(6, RoundingMode.HALF_EVEN).doubleValue()
+
+  def jaccard6(a: Array[Int], b: Array[Int]): Double = {
+    val inter = intersectSorted(a, b)
+    if (inter == 0) 0.0
+    else round6(inter.toDouble / (a.length + b.length - inter).toDouble)
+  }
+
+  /** Column-level kernel. Inputs are ArrayType(IntegerType) sorted asc. */
+  val simUdf: UserDefinedFunction =
+    udf((a: Seq[Int], b: Seq[Int]) => jaccard6(a.toArray, b.toArray))
+
+  /** Verify candidate pairs against exact Jaccard.
+    *
+    * @param candidates (a: long, b: long) with a < b
+    * @param encoded    (doc_id, group, tokens: array<int>)
+    * @param minSim     keep pairs with sim >= minSim (and always sim > 0)
+    * @return (group, a, b, sim) — reference layout
+    *         (code/Stage05ComputeSimilarity.py:211-221)
+    */
+  def verify(candidates: DataFrame, encoded: DataFrame, minSim: Double): DataFrame = {
+    val docsA = encoded.select(col("doc_id").as("a"), col("group"), col("tokens").as("tokens_a"))
+    val docsB = encoded.select(col("doc_id").as("b"), col("tokens").as("tokens_b"))
+    candidates
+      .join(docsA, "a")
+      .join(docsB, "b")
+      .withColumn("sim", simUdf(col("tokens_a"), col("tokens_b")))
+      .filter(col("sim") > 0.0 && col("sim") >= minSim)
+      .select(col("group"), col("a"), col("b"), col("sim"))
+  }
+
+  def hamming(x: Column, y: Column): Column = bit_count(x.bitwiseXOR(y))
+}

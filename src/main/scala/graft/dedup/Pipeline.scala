@@ -1,0 +1,145 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end near-duplicate pipeline over a source-code table
+  * `(repo, path, commit, lang, content)` (BASELINE.json input_hint).
+  *
+  * Stage graph (each stage = one resumable checkpoint, [[Checkpoints]]):
+  *
+  *   docs        tokenize + filter + dense doc ids + sha256 lineage
+  *   vocab       global document-frequency dictionary, min-df prune
+  *   encoded     sorted-int-array document sets
+  *   signatures  MinHash-128 + SimHash-64 per doc (one pass, batched)
+  *   candidates  LSH band pairs  UNION  SimHash block pairs — computed on
+  *               one representative per (group, content_sha) so exact-dup
+  *               classes of any size cannot create hot LSH buckets
+  *   pairs       exact-Jaccard-verified pairs >= threshold, expanded back
+  *               over exact-dup class members, plus the sim=1.0 class pairs
+  *   components  large-star/small-star connected components
+  *
+  * The reference equivalent is the five-stage file pipeline of
+  * code/main_script.py:297-329; grouping (reference: per-year files,
+  * code/Stage04SplitDataPerYear.py:40-45) is the `group` column and Parquet
+  * partition key here.
+  */
+object Pipeline {
+
+  final case class Tables(
+      docs: DataFrame,
+      vocab: DataFrame,
+      encoded: DataFrame,
+      signatures: DataFrame,
+      candidates: DataFrame,
+      pairs: DataFrame,
+      components: DataFrame
+  )
+
+  /** Stage 1 logic (no checkpoint): tokenize + ids + lineage. */
+  def prepareDocs(input: DataFrame, cfg: Config): DataFrame = {
+    val deduped = input.dropDuplicates("repo", "path", "commit")
+    val withId = Ids.assignDense(deduped, Seq("repo", "path", "commit"), "doc_id")
+    withId
+      .withColumn("group", col(cfg.groupCol))
+      .withColumn("content_sha", sha2(col("content"), 256))
+      .withColumn("n_bytes", octet_length(col("content")))
+      .withColumn("tokens", Tokenize.tokenSet(col("content"), cfg.shingleK))
+      .filter(size(col("tokens")) > 0)
+      .select("doc_id", "repo", "path", "commit", "group", "content_sha", "n_bytes", "tokens")
+  }
+
+  /** (doc_id, group, rep_id): byte-identical files collapse to the min-doc_id
+    * representative of their (group, content_sha) class before candidate
+    * generation. A plain window-min — never materializes a class member list
+    * in one row, so a 100k-copy boilerplate file cannot OOM an executor. */
+  def exactClassMap(docs: DataFrame): DataFrame = {
+    val mins = docs
+      .groupBy("group", "content_sha")
+      .agg(min(col("doc_id")).as("rep_id"))
+    docs
+      .select(col("doc_id"), col("group"), col("content_sha"))
+      .join(mins, Seq("group", "content_sha"))
+      .select(col("doc_id"), col("group"), col("rep_id"))
+  }
+
+  def candidatesFor(signatures: DataFrame, cfg: Config): DataFrame =
+    MinHash
+      .candidatePairs(signatures, cfg)
+      .unionByName(SimHash.candidatePairs(signatures, cfg))
+      .distinct()
+
+  /** Expand rep-level verified pairs over exact-dup class members and add the
+    * within-class sim=1.0 pairs, so the final pair table covers every doc —
+    * the reference emits pairs over raw docs, not representatives. Both
+    * expansions are equi-joins on rep_id (shuffle-scalable; the within-class
+    * O(C^2) pair count is inherent in the required output, not in any one
+    * task's memory). */
+  def expandExactClasses(repPairs: DataFrame, classMap: DataFrame): DataFrame = {
+    val memA = classMap.select(col("rep_id").as("a"), col("doc_id").as("ma"))
+    val memB = classMap.select(col("rep_id").as("b"), col("doc_id").as("mb"))
+    val cross = repPairs
+      .join(memA, "a")
+      .join(memB, "b")
+      .select(
+        col("group"),
+        least(col("ma"), col("mb")).as("a"),
+        greatest(col("ma"), col("mb")).as("b"),
+        col("sim")
+      )
+      .filter(col("a") =!= col("b"))
+
+    val x = classMap.select(col("group"), col("rep_id"), col("doc_id").as("a"))
+    val y = classMap.select(col("rep_id"), col("doc_id").as("b"))
+    val withinClass = x
+      .join(y, "rep_id")
+      .filter(col("a") < col("b"))
+      .select(col("group"), col("a"), col("b"), lit(1.0).as("sim"))
+
+    cross.unionByName(withinClass).dropDuplicates("group", "a", "b")
+  }
+
+  def run(spark: SparkSession, input: DataFrame, cfg: Config, workDir: String): Tables = {
+    def p(s: String) = s"$workDir/$s"
+
+    val docs = Checkpoints.stage(spark, "docs", p("docs"), Seq("group"))(
+      prepareDocs(input, cfg)
+    )
+    val vocab = Checkpoints.stage(spark, "vocab", p("vocab"), Nil, Seq(p("docs")))(
+      Vocabulary.build(docs, cfg)
+    )
+    val encoded = Checkpoints.stage(spark, "encoded", p("encoded"), Seq("group"), Seq(p("docs"), p("vocab")))(
+      Vocabulary.encode(docs, vocab)
+    )
+
+    // Only docs that survived pruning take part in classes / signatures.
+    val classMap = exactClassMap(docs.join(encoded.select("doc_id"), "doc_id"))
+
+    val signatures = Checkpoints.stage(spark, "signatures", p("signatures"), Seq("group"), Seq(p("encoded")))(
+      SimHash.withSimhash(
+        MinHash.withSignature(
+          encoded.join(
+            classMap.filter(col("doc_id") === col("rep_id")).select("doc_id"),
+            "doc_id"
+          ),
+          cfg
+        ),
+        cfg
+      )
+    )
+
+    val candidates = Checkpoints.stage(spark, "candidates", p("candidates"), Nil, Seq(p("signatures")))(
+      candidatesFor(signatures, cfg)
+    )
+
+    val pairs = Checkpoints.stage(spark, "pairs", p("pairs"), Seq("group"), Seq(p("candidates"), p("encoded")))(
+      expandExactClasses(Jaccard.verify(candidates, encoded, cfg.threshold), classMap)
+    )
+
+    val components = Checkpoints.stage(spark, "components", p("components"), Nil, Seq(p("pairs")))(
+      Components.assignAll(encoded, pairs)
+    )
+
+    Tables(docs, vocab, encoded, signatures, candidates, pairs, components)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's three top-N report modes over a verified pair table
+  * (group, a, b, sim). All ties broken deterministically by ids so output is
+  * stable run to run (the reference inherits heap insertion order instead —
+  * we pin the orientation that sorts equal-sim pairs ascending by id).
+  */
+object TopN {
+
+  /** Global top-N pairs per group, sim desc — the reference's per-year-file
+    * bounded heap + final truncate (code/Stage05ComputeSimilarity.py:132-150,
+    * 204-208). Spark plans the per-group window as a partial top-N per
+    * partition; for a single global limit `orderBy(...).limit(n)` lowers to
+    * TakeOrderedAndProject (the same distributed heap). */
+  def globalPerGroup(pairs: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("group")).orderBy(desc("sim"), asc("a"), asc("b"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .drop("rank")
+  }
+
+  /** Top-N matches per probe doc with rank 1..N
+    * (code/main_citation_control.py:626-642, default N=3 at :845). Pairs are
+    * expanded symmetrically so every doc is a probe over its matches. */
+  def perProbe(pairs: DataFrame, n: Int): DataFrame = {
+    val sym = pairs
+      .select(col("group"), col("a").as("probe"), col("b").as("matched"), col("sim"))
+      .unionByName(pairs.select(col("group"), col("b").as("probe"), col("a").as("matched"), col("sim")))
+    val w = Window.partitionBy(col("probe")).orderBy(desc("sim"), asc("matched"))
+    sym
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .select(col("group"), col("probe"), col("matched"), col("rank"), col("sim"))
+  }
+
+  /** Symmetric closest-match report with a similarity floor
+    * (code/main_closest.py:29-47, min_similarity default 0.05 at :366). */
+  def closest(pairs: DataFrame, n: Int, minSimilarity: Double = 0.05): DataFrame =
+    perProbe(pairs.filter(col("sim") >= minSimilarity), n)
+
+  /** Per-group corpus stats (code/main_closest.py:272-315). */
+  def groupStats(pairs: DataFrame): DataFrame =
+    pairs
+      .groupBy("group")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        avg(col("sim")).as("avg_sim"),
+        min(col("sim")).as("min_sim"),
+        max(col("sim")).as("max_sim")
+      )
+}

@@ -1,0 +1,168 @@
+package graft
+
+import graft.dedup._
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Kernel-level unit + property tests: tokenizer parity (Column vs Scala vs
+  * reference fixtures), Jaccard rounding semantics, MinHash statistics,
+  * dense-id determinism, connected components vs union-find.
+  */
+class KernelSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Run a ScalaCheck property under ScalaTest (no scalatestplus bridge in
+    * the offline resolver cache). */
+  private def check(prop: Prop, n: Int = 50): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // --- tokenizer: FIXTURES.md §2 adversarial behaviors (cites in Tokenize) ---
+
+  val adversarial = "of to in 1 22 333 1-2 12-34 12-34x x _foo bar_baz co-operate the and a"
+
+  test("tokenizer drops stopwords, single chars, digits, digit-chains and _-joined words") {
+    // `_` is a regex word char: `\b` never fires inside `_foo`/`bar_baz`, so
+    // the reference tokenizer emits nothing for them (verified vs CPython).
+    val got = Tokenize.tokenSetScala(adversarial)
+    assert(got.toSet == Set("12-34x", "co-operate"))
+    assert(got.sameElements(got.sorted), "tokens must be sorted asc")
+  }
+
+  test("Column tokenizer agrees with the Scala twin and the oracle tokenizer") {
+    val texts = Seq(
+      adversarial,
+      "Machine learning algorithm, advanced MACHINE learning!",
+      "",
+      "a b c 1 2 3",
+      "x-1 1-x 1-2-3 a-b-c 12-34 co-op 99bottles bottles99",
+      CorpusGen.corpusLocal(5).map(_.content).mkString(" ")
+    )
+    val viaColumn = texts
+      .toDF("text")
+      .select(Tokenize.tokenSet(col("text")).as("t"))
+      .as[Seq[String]]
+      .collect()
+    texts.zip(viaColumn).foreach { case (text, gotCol) =>
+      val gotScala = Tokenize.tokenSetScala(text).toSeq
+      val gotOracle = RefOracle.tokenize(text).distinct.sorted
+      assert(gotCol == gotScala, s"column vs scala on: $text")
+      assert(gotCol == gotOracle, s"column vs oracle on: $text")
+    }
+  }
+
+  test("shingles: ordered k-grams before dedup") {
+    val got = Tokenize.tokenSetScala("alpha beta gamma alpha beta", 2)
+    assert(got.toSet == Set("alpha beta", "beta gamma", "gamma alpha"))
+    val short = Tokenize.tokenSetScala("alpha", 2)
+    assert(short.isEmpty)
+  }
+
+  // --- Jaccard kernel ---
+
+  test("round6 reproduces CPython round-half-even on exact binary doubles") {
+    assert(Jaccard.round6(1.0 / 128.0) == 0.007812) // exact tie -> even
+    assert(Jaccard.round6(3.0 / 128.0) == 0.023438) // exact tie -> even (23437|5 -> 23438)
+    assert(Jaccard.round6(2.0 / 3.0) == 0.666667)
+    assert(Jaccard.round6(1.0) == 1.0)
+    assert(Jaccard.round6(1.5e-6) == 2e-6) // exact binary value is just above the tie
+  }
+
+  test("two-pointer intersection equals naive set intersection (property)") {
+    val gen = Gen.listOf(Gen.choose(0, 200)).map(_.distinct.sorted.toArray)
+    check(Prop.forAll(gen, gen) { (a: Array[Int], b: Array[Int]) =>
+      val naive = a.toSet.intersect(b.toSet).size
+      val expected =
+        if (naive == 0 || a.isEmpty || b.isEmpty) 0.0
+        else RefOracle.pythonRound6(naive.toDouble / (a.toSet ++ b.toSet).size)
+      Jaccard.intersectSorted(a, b) == naive && Jaccard.jaccard6(a, b) == expected
+    })
+  }
+
+  // --- MinHash ---
+
+  test("minhash estimate approximates true jaccard within 128-perm tolerance") {
+    val cfg = Config()
+    val (as, bs) = MinHash.coefficients(cfg.numPerms, cfg.seed)
+    val rnd = new scala.util.Random(7)
+    (0 until 20).foreach { _ =>
+      val base = Array.tabulate(120)(_ => rnd.nextInt(100000)).distinct
+      val keep = base.filter(_ => rnd.nextDouble() < 0.8)
+      val other = (keep ++ Array.tabulate(30)(_ => rnd.nextInt(100000))).distinct
+      val a = base.sorted
+      val b = other.sorted
+      val trueJ = Jaccard.intersectSorted(a, b).toDouble /
+        (a.length + b.length - Jaccard.intersectSorted(a, b))
+      val est = MinHash.estimate(
+        MinHash.signatureScala(a, as, bs),
+        MinHash.signatureScala(b, as, bs)
+      )
+      // std error ~ sqrt(j(1-j)/128) <= 0.045; 4 sigma
+      assert(math.abs(est - trueJ) < 0.18, s"est=$est true=$trueJ")
+    }
+  }
+
+  test("identical token sets get identical signatures and band hashes") {
+    val cfg = Config()
+    val (as, bs) = MinHash.coefficients(cfg.numPerms, cfg.seed)
+    val t = Array(3, 17, 99, 2048)
+    val s1 = MinHash.signatureScala(t, as, bs)
+    val s2 = MinHash.signatureScala(t.clone(), as, bs)
+    assert(s1.sameElements(s2))
+    (0 until cfg.bands).foreach { b =>
+      assert(
+        MinHash.bandHashScala(s1, b, cfg.rowsPerBand) ==
+          MinHash.bandHashScala(s2, b, cfg.rowsPerBand)
+      )
+    }
+  }
+
+  test("simhash of near-identical sets is within small hamming distance") {
+    val tokens = Array.tabulate(200)(i => i * 7)
+    val mutated = tokens.updated(5, 99991).updated(50, 99993)
+    val h1 = SimHash.simhash64(tokens, 42L)
+    val h2 = SimHash.simhash64(mutated, 42L)
+    assert(java.lang.Long.bitCount(h1 ^ h2) <= SimHash.MaxHamming)
+    val unrelated = SimHash.simhash64(Array.tabulate(200)(i => i * 13 + 1), 42L)
+    assert(java.lang.Long.bitCount(h1 ^ unrelated) > SimHash.MaxHamming)
+  }
+
+  // --- dense ids ---
+
+  test("assignDense: dense, deterministic, ordered by sort key") {
+    val df = spark
+      .createDataFrame((0 until 500).map(i => (f"k${499 - i}%04d", i)))
+      .toDF("k", "v")
+      .repartition(7)
+    val a = Ids.assignDense(df, Seq("k"), "id").select("k", "id").as[(String, Long)].collect().sortBy(_._2)
+    val b = Ids.assignDense(df, Seq("k"), "id").select("k", "id").as[(String, Long)].collect().sortBy(_._2)
+    assert(a.sameElements(b))
+    assert(a.map(_._2).sameElements(0L until 500L))
+    assert(a.map(_._1).sameElements(a.map(_._1).sorted))
+  }
+
+  // --- connected components ---
+
+  test("large-star/small-star equals union-find (randomized graphs)") {
+    val rnd = new scala.util.Random(424242)
+    (0 until 8).foreach { trial =>
+      val n = 2 + rnd.nextInt(60)
+      val nEdges = 1 + rnd.nextInt(80)
+      val edges = List.fill(nEdges)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val pairs = edges.map { case (a, b) => RefOracle.Pair("g", a, b, 1.0) }
+      val universe = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = RefOracle.clusters(universe, pairs, 0.5)
+      val got = Components
+        .run(edges.toDF("a", "b"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      // Components.run covers nodes that appear in non-self-loop edges
+      val wantCovered = want.filter { case (k, _) =>
+        edges.exists(e => (e._1 == k || e._2 == k) && e._1 != e._2)
+      }
+      assert(got == wantCovered, s"trial $trial edges=$edges")
+    }
+  }
+}

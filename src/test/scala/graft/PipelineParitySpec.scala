@@ -1,0 +1,113 @@
+package graft
+
+import graft.dedup._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The correctness gate (BASELINE.md): exact parity with the reference
+  * semantics on the exact path, recall >= 0.99 + cluster-assignment equality
+  * on the scalable LSH path, sha256 lineage, and checkpoint resume.
+  */
+class PipelineParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cfg = Config()
+
+  /** Oracle doc ids must equal the pipeline's dense ids: both are the rank in
+    * (repo, path, commit) sort order (ASCII corpus => same collation). */
+  private def oracleDocs(files: Seq[CodeFile]): Seq[RefOracle.Doc] =
+    files
+      .sortBy(f => (f.repo, f.path, f.commit))
+      .zipWithIndex
+      .map { case (f, i) => RefOracle.Doc(i.toLong, f.lang, f.content) }
+
+  private def pairsOf(df: DataFrame): Set[(String, Long, Long, Double)] =
+    df.select("group", "a", "b", "sim")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+  test("exact path equals the reference oracle pair-for-pair (tiny corpus)") {
+    val files = CorpusGen.corpusLocal(200)
+    val input = spark.createDataFrame(files)
+    val docs = Pipeline.prepareDocs(input, cfg)
+    val vocab = Vocabulary.build(docs, cfg)
+    val encoded = Vocabulary.encode(docs, vocab)
+    val got = pairsOf(ExactPairs.allPairs(encoded))
+    val want = RefOracle
+      .allPairs(oracleDocs(files), cfg.shingleK, cfg.minDf)
+      .map(p => (p.group, p.a, p.b, p.sim))
+      .toSet
+    assert(want.nonEmpty, "oracle produced no pairs — fixture is broken")
+    assert(got == want)
+  }
+
+  test("LSH path: recall >= 0.99 at threshold and exact precision (small corpus)") {
+    val files = CorpusGen.corpusLocal(1000)
+    val input = spark.createDataFrame(files)
+    val work = tmpDir("graft-lsh")
+    val t = Pipeline.run(spark, input, cfg, work)
+
+    val oracle = RefOracle.allPairs(oracleDocs(files), cfg.shingleK, cfg.minDf)
+    val oracleAtTau = oracle.filter(_.sim >= cfg.threshold).map(p => (p.group, p.a, p.b, p.sim)).toSet
+    val got = pairsOf(t.pairs)
+
+    assert(oracleAtTau.size > 50, s"fixture too weak: ${oracleAtTau.size} oracle pairs at tau")
+    // precision: every emitted pair is a true pair at the threshold
+    assert(got.subsetOf(oracleAtTau))
+    val recall = got.intersect(oracleAtTau).size.toDouble / oracleAtTau.size
+    assert(recall >= 0.99, s"recall $recall < 0.99 (${got.size} of ${oracleAtTau.size})")
+
+    // cluster assignments equal union-find over the oracle pair set
+    val universe = t.encoded.select("doc_id").as[Long].collect().toSeq
+    val wantClusters = RefOracle.clusters(universe, oracle, cfg.threshold)
+    val gotClusters = t.components
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(gotClusters == wantClusters)
+  }
+
+  test("per-row invariant: content sha256 carried unchanged into the docs checkpoint") {
+    val files = CorpusGen.corpusLocal(100)
+    val input = spark.createDataFrame(files)
+    val docs = Pipeline.prepareDocs(input, cfg)
+    val mismatches = docs
+      .join(input.withColumn("want_sha", sha2(col("content"), 256)), Seq("repo", "path", "commit"))
+      .filter(col("content_sha") =!= col("want_sha"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("resume: a partially-checkpointed run completes to identical output") {
+    val files = CorpusGen.corpusLocal(300)
+    val input = spark.createDataFrame(files)
+
+    val full = tmpDir("graft-full")
+    val firstPairs = pairsOf(Pipeline.run(spark, input, cfg, full).pairs)
+
+    // simulate a killed run: only the first stages exist
+    val partial = tmpDir("graft-partial")
+    val docs = Checkpoints.stage(spark, "docs", s"$partial/docs", Seq("group"))(
+      Pipeline.prepareDocs(input, cfg)
+    )
+    Checkpoints.stage(spark, "vocab", s"$partial/vocab")(Vocabulary.build(docs, cfg))
+    val resumed = pairsOf(Pipeline.run(spark, input, cfg, partial).pairs)
+    assert(resumed == firstPairs)
+
+    // idempotence: re-running over complete checkpoints changes nothing
+    val again = pairsOf(Pipeline.run(spark, input, cfg, full).pairs)
+    assert(again == firstPairs)
+  }
+
+  test("stage metrics sidecars exist with per-partition rows") {
+    val files = CorpusGen.corpusLocal(100)
+    val input = spark.createDataFrame(files)
+    val work = tmpDir("graft-metrics")
+    Pipeline.run(spark, input, cfg, work)
+    val m = spark.read.parquet(s"$work/docs_metrics")
+    assert(m.columns.toSet == Set("partition", "rows", "stage", "wall_ms"))
+    assert(m.count() >= 4) // one row per lang partition
+    assert(Checkpoints.exists(spark, s"$work/components"))
+  }
+}
