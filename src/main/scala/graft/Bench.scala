@@ -1,24 +1,109 @@
 package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import graft.dedup.{Config, CorpusGen, Pipeline}
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Two parts:
+  *
+  *  1. every `SparkEntry.queries` entry timed at `SPARK_GRAFT_CPUS` over
+  *     `SPARK_GRAFT_SF_DIR` (the driver's per-round harness contract);
+  *  2. the flagship dedup pipeline over a generated source-code corpus at
+  *     TWO parallelism levels — local[8] vs local[32] — on identical input:
+  *     the sandbox stand-in for the north_rule's N-vs-4N-executor scaling
+  *     criterion (no real cluster here; see BASELINE.md). Efficiency =
+  *     (files/sec at 32) / (files/sec at 8) / 4.
+  *
+  * Prints ONE JSON line; also writes BENCH/BASELINE.md with the full table.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession
+      .builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def pipelineRun(cpus: Int, nFiles: Long): Double = {
+    val spark = session(cpus)
+    val work = Files.createTempDirectory(s"graft-bench-$cpus").toString
+    val t0 = System.nanoTime()
+    val tables = Pipeline.run(spark, CorpusGen.corpus(spark, nFiles).toDF(), Config(), work)
+    tables.components.count() // force the final stage
+    val secs = (System.nanoTime() - t0) / 1e9
+    spark.stop()
+    // local-mode sessions share one JVM: clear the stopped session so the
+    // next builder call creates a fresh context instead of reusing state
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    nFiles / secs
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val nFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES", "20000").toLong
+
+    // part 1: operator queries at the harness parallelism
+    val spark = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+
+    // part 2: pipeline scaling, same input, 8 vs 32 threads
+    val thr8 = pipelineRun(8, nFiles)
+    val thr32 = pipelineRun(32, nFiles)
+    val efficiency = (thr32 / thr8) / 4.0
+
+    val qJson = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","pipeline_files":$nFiles,"files_per_sec_8":$thr8%.1f,"files_per_sec_32":$thr32%.1f,"scaling_efficiency":$efficiency%.3f}"""
+    )
+
+    val md =
+      f"""# BENCH results
+         |
+         || metric | value |
+         ||---|---|
+         || operator-suite total (s) @ local[$cpus], $sfDir | $total%.1f |
+         || pipeline corpus size (files) | $nFiles |
+         || pipeline throughput @ local[8] (files/sec) | $thr8%.1f |
+         || pipeline throughput @ local[32] (files/sec) | $thr32%.1f |
+         || scaling efficiency (thr32/thr8)/4 | $efficiency%.3f |
+         |
+         |Scaling evidence per BASELINE.md: same job + same input at two
+         |parallelism levels stands in for N-vs-4N executors (no multi-node
+         |cluster in the sandbox).
+         |
+         |Per-query seconds @ local[$cpus]:
+         |
+         || query | s |
+         ||---|---|
+         |${results.map { case (k, v) => f"| $k | $v%.2f |" }.mkString("\n")}
+         |""".stripMargin
+    Files.createDirectories(Paths.get("BENCH"))
+    Files.write(
+      Paths.get("BENCH/BASELINE.md"),
+      md.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE,
+      StandardOpenOption.TRUNCATE_EXISTING
+    )
   }
 }

@@ -1,13 +1,448 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.dedup.{Components, Config, Jaccard, MinHash, SimHash, Stopwords, Tokenize, Vocabulary}
+import graft.ops.{Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator family
+  * (SURVEY.md §2) plus the training-data-pipeline ops, each with a DuckDB
+  * oracle in `oracleSql` where ANSI SQL can express the same semantics.
+  *
+  * Numeric-parity rules baked into every query pair:
+  *  - similarity values are emitted as single divisions of exact integer
+  *    counts (same doubles in any engine), never re-rounded;
+  *  - counts are cast to BIGINT on both sides (DuckDB sums of ints widen to
+  *    HUGEINT, Spark `size` is int — both normalized);
+  *  - float aggregations whose order differs across engines (cosine sums)
+  *    are never emitted — only the ranks derived from them.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val tokenPatternSql = "\\b[a-zA-Z0-9][-a-zA-Z0-9]*[a-zA-Z0-9]\\b"
+  private lazy val stopListSql: String =
+    Stopwords.english.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ---- shared building blocks over documents(doc_id, text, lang, ...) ----
+
+  /** Reference-semantics tokens per doc: (doc_id, lang, token), distinct. */
+  private def refTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), explode(Tokenize.tokenSet(col("text"))).as("token"))
+
+  /** Tokens after the reference's min-df >= 2 vocabulary prune. */
+  private def prunedTokens(docs: DataFrame): DataFrame = {
+    val tok = refTokens(docs)
+    val voc = tok.groupBy("token").agg(count(lit(1)).as("df")).filter(col("df") >= 2)
+    tok.join(voc.select("token"), "token")
+  }
+
+  /** Within-lang exact Jaccard pairs over pruned tokens:
+    * (lang, a, b, inter_cnt, union_cnt, sim) with sim >= minSim. */
+  private def docPairs(docs: DataFrame, minSim: Double): DataFrame = {
+    val pt = prunedTokens(docs)
+    val sz = pt.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val x = pt.select(col("lang"), col("token"), col("doc_id").as("a"))
+    val y = pt.select(col("lang"), col("token"), col("doc_id").as("b"))
+    x.join(y, Seq("lang", "token"))
+      .filter(col("a") < col("b"))
+      .groupBy("lang", "a", "b")
+      .agg(count(lit(1)).as("inter_cnt"))
+      .join(sz.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .withColumn("union_cnt", col("na") + col("nb") - col("inter_cnt"))
+      .withColumn("sim", col("inter_cnt").cast("double") / col("union_cnt"))
+      .filter(col("sim") >= minSim)
+      .select("lang", "a", "b", "inter_cnt", "union_cnt", "sim")
+  }
+
+  /** The documents table re-shaped as the dedup engine's encoded corpus. */
+  private def docsEncoded(docs: DataFrame, cfg: Config): DataFrame = {
+    val base = docs.select(
+      col("doc_id"),
+      col("lang").as("group"),
+      Tokenize.tokenSet(col("text"), cfg.shingleK).as("tokens")
+    ).filter(size(col("tokens")) > 0)
+    val vocab = Vocabulary.build(base, cfg)
+    Vocabulary.encode(base, vocab)
+  }
+
+  private val tokFilterSql =
+    s"""length(token) > 1 AND NOT regexp_matches(token, '^[0-9]+$$')
+       | AND NOT regexp_matches(token, '^[0-9]+(-[0-9]+)+$$')
+       | AND token NOT IN ($stopListSql)""".stripMargin.replace("\n", " ")
+
+  private val refTokensCte =
+    s"""toks0 AS (SELECT doc_id, lang, unnest(list_distinct(regexp_extract_all(lower(text), '$tokenPatternSql'))) AS token FROM documents),
+       |tok AS (SELECT doc_id, lang, token FROM toks0 WHERE $tokFilterSql)""".stripMargin.replace("\n", " ")
+
+  private val prunedTokensCte =
+    s"""$refTokensCte,
+       |voc AS (SELECT token FROM tok GROUP BY token HAVING count(*) >= 2),
+       |pt AS (SELECT tok.doc_id, tok.lang, tok.token FROM tok JOIN voc ON tok.token = voc.token),
+       |sz AS (SELECT doc_id, count(*) AS n FROM pt GROUP BY doc_id)""".stripMargin.replace("\n", " ")
+
+  // ======================================================================
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q13_doc_pairs")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- aggregations / scans (A1-A6, S1) ----
+    "q01_agg_lineitem" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          sum("l_extendedprice").as("sum_price"),
+          avg("l_discount").as("avg_disc"),
+          count(lit(1)).as("n")
+        )),
+    "q29_group_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars")
+        )
+        .withColumn("avg_chars", col("sum_chars").cast("double") / col("n_docs"))),
+    "q09_events_histogram" -> ((s, dir) =>
+      t(s, dir, "events").groupBy("event_type").agg(count(lit(1)).as("n"))),
+
+    // ---- sorts / limits / top-K (T1, T2, T5) ----
+    "q02_topn_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(100)),
+    "q03_topn_per_customer" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    }),
+
+    // ---- joins (J1/J2 broadcast, J6 semi, J7/J8 anti, J4 probe) ----
+    "q04_join_revenue_by_nation" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val n = t(s, dir, "nation")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum("o_totalprice").as("revenue"), count(lit(1)).as("n_orders"))
+    }),
+    "q05_semi_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")),
+    "q06_anti_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")),
+
+    // ---- filter / project / scalar fns (O1-O8) ----
+    "q07_filter_project" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue")
+        )),
+    "q08_distinct" -> ((s, dir) =>
+      t(s, dir, "orders").select("o_custkey", "o_orderpriority").distinct()),
+
+    // ---- window functions (T2-shaped running agg) ----
+    "q10_running_window" -> ((s, dir) => {
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // integer-valued running metric: windowed DOUBLE sums are engine-
+      // dependent in add order (DuckDB uses a segment tree) — floor to
+      // cents first so the cumulative sum is exact on both sides
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          col("user_id"),
+          sum(floor(col("value") * 100).cast("long")).over(w).as("running")
+        )
+    }),
+
+    // ---- reference tokenizer / vocabulary (O1-O4, A1-A2) ----
+    "q11_tokenize" -> ((s, dir) => refTokens(t(s, dir, "documents")).select("doc_id", "token")),
+    "q12_vocab_df" -> ((s, dir) =>
+      refTokens(t(s, dir, "documents"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2)),
+
+    // ---- the similarity core (J3): within-group exact Jaccard pairs ----
+    "q13_doc_pairs" -> ((s, dir) => docPairs(t(s, dir, "documents"), 0.5)),
+    "q14_doc_top3" -> ((s, dir) => {
+      val p = docPairs(t(s, dir, "documents"), 0.5)
+      val sym = p
+        .select(col("a").as("doc_id"), col("b").as("neighbor"), col("sim"))
+        .unionByName(p.select(col("b").as("doc_id"), col("a").as("neighbor"), col("sim")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(desc("sim"), asc("neighbor"))
+      sym.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= 3)
+    }),
+    "q30_pair_probe" -> ((s, dir) => {
+      // J4: fixed probe list (doc, doc+7), sim over pruned tokens, 0.0 kept
+      val pt = prunedTokens(t(s, dir, "documents"))
+      val sz = pt.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = pt
+        .select(col("doc_id").as("a"), col("token"))
+        .join(pt.select((col("doc_id") - 7).as("a"), col("token")), Seq("a", "token"))
+        .groupBy("a")
+        .agg(count(lit(1)).as("inter_cnt"))
+      sz.select(col("doc_id").as("a"), col("n").as("na"))
+        .join(sz.select((col("doc_id") - 7).as("a"), col("n").as("nb")), "a")
+        .join(inter, Seq("a"), "left")
+        .withColumn("inter_cnt", coalesce(col("inter_cnt"), lit(0L)))
+        .select(
+          col("a"),
+          (col("a") + 7).as("b"),
+          (col("inter_cnt").cast("double") / (col("na") + col("nb") - col("inter_cnt"))).as("sim")
+        )
+    }),
+
+    // ---- dedup operators ----
+    "q15_dedup_exact" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val canon = d.groupBy("text").agg(min("doc_id").as("canon"))
+      d.join(canon, "text").select("doc_id", "canon")
+    }),
+    "q16_ngram_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val ws = TextAnalysis.words(col("text"))
+      val grams = d
+        .select(
+          col("doc_id"),
+          col("lang"),
+          explode(array_distinct(Tokenize.shingles(ws, 3))).as("gram")
+        )
+      val sz = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val x = grams.select(col("lang"), col("gram"), col("doc_id").as("a"))
+      val y = grams.select(col("lang"), col("gram"), col("doc_id").as("b"))
+      x.join(y, Seq("lang", "gram"))
+        .filter(col("a") < col("b"))
+        .groupBy("lang", "a", "b")
+        .agg(count(lit(1)).as("c"))
+        .join(sz.select(col("doc_id").as("a"), col("n").as("na")), "a")
+        .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+        .withColumn("sim", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+        .filter(col("sim") >= 0.2)
+        .select("lang", "a", "b", "sim")
+    }),
+
+    // ---- text analysis ----
+    "q17_quality" -> ((s, dir) => TextAnalysis.qualityScore(t(s, dir, "documents"))
+      .withColumn("n_chars", col("n_chars").cast("long"))
+      .withColumn("n_tokens", col("n_tokens").cast("long"))
+      .withColumn("n_words", col("n_words").cast("long"))
+      .withColumn("n_stopwords", col("n_stopwords").cast("long"))
+      .withColumn("n_alnum", col("n_alnum").cast("long"))),
+    "q18_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"))
+      .withColumn("ws_tokens", col("ws_tokens").cast("long"))
+      .withColumn("bpe_tokens", col("bpe_tokens").cast("long"))),
+    "q19_langid" -> ((s, dir) => TextAnalysis.langId(t(s, dir, "documents"))
+      .withColumn("n_words", col("n_words").cast("long"))
+      .withColumn("n_en_function_words", col("n_en_function_words").cast("long"))),
+    "q20_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"))),
+
+    // ---- embedding similarity search ----
+    "q21_cosine_top3" -> ((s, dir) =>
+      Similarity
+        .cosineTopK(t(s, dir, "embeddings"), 3)
+        .select(col("vec_id"), col("neighbor"), col("rank").cast("long").as("rnk"))),
+
+    // ---- non-SQL-expressible (rows-only checks): hash-based detectors ----
+    "q22_minhash_sigs" -> ((s, dir) => {
+      val cfg = Config()
+      MinHash
+        .withSignature(docsEncoded(t(s, dir, "documents"), cfg), cfg)
+        .select(col("doc_id"), posexplode(col("minhash")).as(Seq("perm", "min_val")))
+    }),
+    "q23_lsh_pairs" -> ((s, dir) => {
+      val cfg = Config(threshold = 0.5)
+      val enc = docsEncoded(t(s, dir, "documents"), cfg)
+      val sigs = MinHash.withSignature(enc, cfg)
+      Jaccard.verify(MinHash.candidatePairs(sigs, cfg), enc, cfg.threshold)
+    }),
+    "q24_simhash_pairs" -> ((s, dir) => {
+      val cfg = Config(threshold = 0.5)
+      val enc = docsEncoded(t(s, dir, "documents"), cfg)
+      val sigs = SimHash.withSimhash(enc, cfg)
+      Jaccard.verify(SimHash.candidatePairs(sigs, cfg), enc, cfg.threshold)
+    }),
+    "q25_components" -> ((s, dir) => {
+      val cfg = Config(threshold = 0.5)
+      val enc = docsEncoded(t(s, dir, "documents"), cfg)
+      val sigs = MinHash.withSignature(enc, cfg)
+      val pairs = Jaccard.verify(MinHash.candidatePairs(sigs, cfg), enc, cfg.threshold)
+      Components.assignAll(enc, pairs)
+    }),
+    "q28_lsh_cosine_top3" -> ((s, dir) =>
+      Similarity.lshCosineTopK(t(s, dir, "embeddings"), k = 3, dim = 64)),
+
+    // ---- multimodal plumbing (decode stubbed; schema/batching real) ----
+    "q26_multimodal_features" -> ((s, dir) => {
+      val media = Multimodal.synthesize(t(s, dir, "documents"))
+      Multimodal
+        .extractFeatures(media)
+        .select(col("media_id"), col("modality"), col("n_bytes"), size(col("embedding")).as("dim"))
+    }),
+    "q27_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.synthesize(t(s, dir, "documents"))))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_lineitem" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | sum(l_extendedprice) AS sum_price, avg(l_discount) AS avg_disc,
+        | count(*) AS n FROM lineitem GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+    "q29_group_stats" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        | CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+        | FROM documents GROUP BY 1""".stripMargin.replace("\n", " "),
+    "q09_events_histogram" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY 1",
+    "q02_topn_orders" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
+    "q03_topn_per_customer" ->
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        | FROM orders) WHERE rnk <= 3""".stripMargin.replace("\n", " "),
+    "q04_join_revenue_by_nation" ->
+      """SELECT n_name, sum(o_totalprice) AS revenue, count(*) AS n_orders
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey GROUP BY 1""".stripMargin.replace("\n", " "),
+    "q05_semi_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)",
+    "q06_anti_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
+    "q07_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS revenue
+        | FROM lineitem WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin.replace("\n", " "),
+    "q08_distinct" ->
+      "SELECT DISTINCT o_custkey, o_orderpriority FROM orders",
+    "q10_running_window" ->
+      """SELECT event_id, user_id, sum(CAST(floor(value * 100) AS BIGINT))
+        | OVER (PARTITION BY user_id ORDER BY ts, event_id
+        | ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running FROM events""".stripMargin.replace("\n", " "),
+    "q11_tokenize" ->
+      s"WITH $refTokensCte SELECT doc_id, token FROM tok",
+    "q12_vocab_df" ->
+      s"WITH $refTokensCte SELECT token, count(*) AS df FROM tok GROUP BY token HAVING count(*) >= 2",
+    "q13_doc_pairs" ->
+      s"""WITH $prunedTokensCte,
+         |it AS (SELECT x.lang, x.doc_id AS a, y.doc_id AS b, count(*) AS inter_cnt
+         |  FROM pt x JOIN pt y ON x.token = y.token AND x.lang = y.lang AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2, 3)
+         |SELECT it.lang, it.a, it.b, it.inter_cnt,
+         |  sa.n + sb.n - it.inter_cnt AS union_cnt,
+         |  CAST(it.inter_cnt AS DOUBLE) / (sa.n + sb.n - it.inter_cnt) AS sim
+         |FROM it JOIN sz sa ON it.a = sa.doc_id JOIN sz sb ON it.b = sb.doc_id
+         |WHERE CAST(it.inter_cnt AS DOUBLE) / (sa.n + sb.n - it.inter_cnt) >= 0.5""".stripMargin.replace("\n", " "),
+    "q14_doc_top3" ->
+      s"""WITH $prunedTokensCte,
+         |it AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter_cnt
+         |  FROM pt x JOIN pt y ON x.token = y.token AND x.lang = y.lang AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |p AS (SELECT it.a, it.b, CAST(it.inter_cnt AS DOUBLE) / (sa.n + sb.n - it.inter_cnt) AS sim
+         |  FROM it JOIN sz sa ON it.a = sa.doc_id JOIN sz sb ON it.b = sb.doc_id
+         |  WHERE CAST(it.inter_cnt AS DOUBLE) / (sa.n + sb.n - it.inter_cnt) >= 0.5),
+         |sym AS (SELECT a AS doc_id, b AS neighbor, sim FROM p
+         |  UNION ALL SELECT b AS doc_id, a AS neighbor, sim FROM p)
+         |SELECT doc_id, neighbor, sim, rnk FROM (
+         |  SELECT doc_id, neighbor, sim,
+         |   row_number() OVER (PARTITION BY doc_id ORDER BY sim DESC, neighbor) AS rnk FROM sym)
+         |WHERE rnk <= 3""".stripMargin.replace("\n", " "),
+    "q30_pair_probe" ->
+      s"""WITH $prunedTokensCte,
+         |it AS (SELECT x.doc_id AS a, count(*) AS inter_cnt
+         |  FROM pt x JOIN pt y ON x.token = y.token AND y.doc_id = x.doc_id + 7 GROUP BY 1)
+         |SELECT sa.doc_id AS a, sa.doc_id + 7 AS b,
+         |  CAST(coalesce(it.inter_cnt, 0) AS DOUBLE) / (sa.n + sb.n - coalesce(it.inter_cnt, 0)) AS sim
+         |FROM sz sa JOIN sz sb ON sb.doc_id = sa.doc_id + 7
+         |LEFT JOIN it ON it.a = sa.doc_id""".stripMargin.replace("\n", " "),
+    "q15_dedup_exact" ->
+      """SELECT d.doc_id, m.canon FROM documents d JOIN
+        | (SELECT text, min(doc_id) AS canon FROM documents GROUP BY text) m
+        | ON d.text = m.text""".stripMargin.replace("\n", " "),
+    "q16_ngram_jaccard" ->
+      """WITH tk AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+        |gr AS (SELECT DISTINCT doc_id, lang, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+        |  FROM tk, UNNEST(generate_series(1, len(ts) - 2)) AS u(i) WHERE len(ts) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY 1),
+        |it AS (SELECT x.lang, x.doc_id AS a, y.doc_id AS b, count(*) AS c
+        |  FROM gr x JOIN gr y ON x.gram = y.gram AND x.lang = y.lang AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2, 3)
+        |SELECT it.lang, it.a, it.b, CAST(it.c AS DOUBLE) / (sa.n + sb.n - it.c) AS sim
+        |FROM it JOIN sz sa ON it.a = sa.doc_id JOIN sz sb ON it.b = sb.doc_id
+        |WHERE CAST(it.c AS DOUBLE) / (sa.n + sb.n - it.c) >= 0.2""".stripMargin.replace("\n", " "),
+    "q17_quality" ->
+      s"""WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
+         |sw AS (SELECT doc_id, count(*) AS n_stop FROM w WHERE tok IN ($stopListSql) GROUP BY 1)
+         |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+         | CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n_tokens,
+         | CAST(len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS BIGINT) AS n_words,
+         | CAST(coalesce(sw.n_stop, 0) AS BIGINT) AS n_stopwords,
+         | CAST(length(regexp_replace(lower(d.text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS n_alnum,
+         | CASE WHEN len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) > 0
+         |  THEN CAST(coalesce(sw.n_stop, 0) AS DOUBLE) / len(regexp_extract_all(lower(d.text), '[a-z0-9]+'))
+         |  ELSE 0.0 END AS stopword_ratio,
+         | CASE WHEN length(d.text) > 0
+         |  THEN CAST(length(regexp_replace(lower(d.text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / length(d.text)
+         |  ELSE 0.0 END AS alnum_ratio
+         |FROM documents d LEFT JOIN sw ON d.doc_id = sw.doc_id""".stripMargin.replace("\n", " "),
+    "q18_token_count" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        | FROM documents""".stripMargin.replace("\n", " "),
+    "q19_langid" ->
+      s"""WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents),
+         |sw AS (SELECT doc_id, count(*) AS n_stop FROM w WHERE tok IN ($stopListSql) GROUP BY 1)
+         |SELECT d.doc_id,
+         | CAST(len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS BIGINT) AS n_words,
+         | CAST(coalesce(sw.n_stop, 0) AS BIGINT) AS n_en_function_words,
+         | CASE WHEN len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) > 0
+         |  THEN CAST(coalesce(sw.n_stop, 0) AS DOUBLE) / len(regexp_extract_all(lower(d.text), '[a-z0-9]+'))
+         |  ELSE 0.0 END AS en_score,
+         | CAST((CASE WHEN len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) > 0
+         |  THEN CAST(coalesce(sw.n_stop, 0) AS DOUBLE) / len(regexp_extract_all(lower(d.text), '[a-z0-9]+'))
+         |  ELSE 0.0 END) > 0.05 AS INT) AS looks_english
+         |FROM documents d LEFT JOIN sw ON d.doc_id = sw.doc_id""".stripMargin.replace("\n", " "),
+    "q20_fingerprint" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+        |gr AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+        |  FROM tk, UNNEST(generate_series(1, len(ts) - 2)) AS u(i) WHERE len(ts) >= 3
+        | UNION ALL
+        | SELECT doc_id, array_to_string(ts, ' ') AS gram FROM tk WHERE len(ts) < 3)
+        |SELECT doc_id, min(md5(gram)) AS fingerprint FROM gr GROUP BY 1""".stripMargin.replace("\n", " "),
+    "q21_cosine_top3" ->
+      """WITH p AS (SELECT x.vec_id AS a, y.vec_id AS b,
+        |  list_sum(list_transform(generate_series(1, len(x.embedding)),
+        |    i -> CAST(x.embedding[i] AS DOUBLE) * y.embedding[i]))
+        |  / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * v)))
+        |     * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * v)))) AS cosine
+        |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id),
+        |sym AS (SELECT a AS vec_id, b AS neighbor, cosine FROM p
+        |  UNION ALL SELECT b AS vec_id, a AS neighbor, cosine FROM p)
+        |SELECT vec_id, neighbor, rnk FROM (
+        |  SELECT vec_id, neighbor,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor) AS rnk FROM sym)
+        |WHERE rnk <= 3""".stripMargin.replace("\n", " ")
+  )
 }

@@ -1,0 +1,87 @@
+package graft.ops
+
+import graft.dedup.Stopwords
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over a `documents`
+  * table (doc_id, text, lang, ...). All ratios are quotients of integer
+  * counts computed with codegen'd built-ins, so a SQL oracle (DuckDB)
+  * reproduces them bit-for-bit — no UDFs, no rounding-mode hazards.
+  */
+object TextAnalysis {
+
+  /** Simple word tokenizer used by the analysis ops (distinct from the
+    * reference-parity tokenizer in [[graft.dedup.Tokenize]] — analysis ops
+    * favor SQL-portability over patent-pipeline fidelity). */
+  def words(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  private lazy val stopwordsArray: Column = lit(Stopwords.english.toArray.sorted)
+
+  /** Token counting: whitespace tokens + a BPE-ish segmentation (letter runs,
+    * digit runs, single punctuation marks each count as one token). */
+  def tokenCounts(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(
+      col("doc_id"),
+      size(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).as("ws_tokens"),
+      size(regexp_extract_all(lower(col(textCol)), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+        .as("bpe_tokens")
+    )
+
+  /** Quality signals: length, token count, punctuation ratio, stopword ratio,
+    * mean word length — the standard cheap filters for corpus curation. */
+  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val ws = regexp_extract_all(col(textCol), lit("\\S+"), lit(0))
+    val ltrs = length(regexp_replace(lower(col(textCol)), "[^a-z0-9]", ""))
+    val sw = filter(words(col(textCol)), w => array_contains(stopwordsArray, w))
+    df.select(
+      col("doc_id"),
+      length(col(textCol)).as("n_chars"),
+      size(ws).as("n_tokens"),
+      size(words(col(textCol))).as("n_words"),
+      size(sw).as("n_stopwords"),
+      ltrs.as("n_alnum")
+    ).withColumn(
+      "stopword_ratio",
+      when(col("n_words") > 0, col("n_stopwords").cast("double") / col("n_words")).otherwise(lit(0.0))
+    ).withColumn(
+      "alnum_ratio",
+      when(col("n_chars") > 0, col("n_alnum").cast("double") / col("n_chars")).otherwise(lit(0.0))
+    )
+  }
+
+  /** Heuristic language ID: English function-word density. A real system
+    * swaps in per-language n-gram tables; the Spark shape (broadcast word
+    * table + higher-order filter, no shuffle) is the same. */
+  def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val ws = words(col(textCol))
+    val sw = filter(ws, w => array_contains(stopwordsArray, w))
+    df.select(
+      col("doc_id"),
+      size(ws).as("n_words"),
+      size(sw).as("n_en_function_words")
+    ).withColumn(
+      "en_score",
+      when(col("n_words") > 0, col("n_en_function_words").cast("double") / col("n_words"))
+        .otherwise(lit(0.0))
+    ).withColumn("looks_english", (col("en_score") > 0.05).cast("int"))
+  }
+
+  /** Document fingerprint: the minimum MD5 over word 3-gram shingles — a
+    * winnowing-style content fingerprint that is stable under small appends
+    * and identical across engines (md5 + lexicographic min are portable). */
+  def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val ws = words(col(textCol))
+    val grams = when(
+      size(ws) >= 3,
+      transform(
+        sequence(lit(1), size(ws) - lit(2)),
+        i => concat_ws(" ", slice(ws, i, lit(3)))
+      )
+    ).otherwise(array(concat_ws(" ", ws)))
+    df.select(col("doc_id"), explode(grams).as("gram"))
+      .groupBy("doc_id")
+      .agg(min(md5(col("gram"))).as("fingerprint"))
+  }
+}
