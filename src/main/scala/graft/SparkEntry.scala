@@ -302,7 +302,12 @@ object SparkEntry {
         .select(col("media_id"), col("modality"), col("n_bytes"), size(col("embedding")).as("dim"))
     }),
     "q27_frame_sample" -> ((s, dir) =>
-      Multimodal.sampleFrames(Multimodal.synthesize(t(s, dir, "documents"))))
+      Multimodal.sampleFrames(Multimodal.synthesize(t(s, dir, "documents")))),
+    "q31_substring_pairs" -> ((s, dir) =>
+      graft.dedup.SuffixDedup.run(
+        t(s, dir, "documents").select(col("doc_id"), col("lang").as("group"), col("text").as("content")),
+        graft.dedup.SuffixDedup.SubConfig(k = 16, window = 5, minMatch = 20)
+      ))
   )
 
   def oracleSql: Map[String, String] = Map(

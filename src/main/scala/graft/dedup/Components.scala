@@ -72,17 +72,32 @@ object Components {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var prev = checksum(edges)
+
+    // Size the loop's shuffle parallelism to the EDGE data, not the session
+    // default: the edge set is orders of magnitude smaller than the corpus,
+    // and star-contraction rounds are join/agg chains of tiny tasks whose
+    // scheduling overhead otherwise dominates (and grows with cores).
+    val spark = edges.sparkSession
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val parts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism * 2,
+      (prev._1 / 500000L).toInt + 1
+    ))
+
     var converged = false
     var iter = 0
-    while (!converged && iter < MaxIterations) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(eager = true)
-      val cur = checksum(next)
-      converged = cur == prev
-      prev = cur
-      edges.unpersist()
-      edges = next
-      iter += 1
-    }
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      while (!converged && iter < MaxIterations) {
+        val next = smallStar(largeStar(edges)).localCheckpoint(eager = true)
+        val cur = checksum(next)
+        converged = cur == prev
+        prev = cur
+        edges.unpersist()
+        edges = next
+        iter += 1
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
     // After convergence edges form stars: (node -> componentMin).
     val assign = edges.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
     val roots = edges.select(col("dst").as("doc_id")).distinct()

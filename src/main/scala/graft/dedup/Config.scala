@@ -35,6 +35,7 @@ final case class Config(
     threshold: Double = 0.7,
     maxBucket: Int = 2000,
     topN: Option[Int] = None,
+    substringDedup: Boolean = false,
     seed: Long = 42L
 ) {
   require(numPerms % bands == 0, s"bands=$bands must divide numPerms=$numPerms")

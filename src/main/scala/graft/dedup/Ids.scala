@@ -28,10 +28,14 @@ object Ids {
 
   def assignDense(df: DataFrame, sortCols: Seq[String], idCol: String): DataFrame = {
     val cols = sortCols.map(col)
+    // repartitionByRange runs a separate SAMPLING job before the shuffle —
+    // without caching the input, the whole upstream lineage (corpus scan,
+    // dedup shuffle) executes twice
+    val input = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // persist: the count job and the stamping job MUST see the same physical
     // partitioning — without it each action re-samples range boundaries and
     // the per-partition offsets would not line up.
-    val sorted = df
+    val sorted = input
       .repartitionByRange(cols: _*)
       .sortWithinPartitions(cols: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -42,6 +46,8 @@ object Ids {
       .collect()
       .map(r => (r.getInt(0), r.getLong(1)))
       .sortBy(_._1)
+
+    input.unpersist() // sorted copy is materialized; upstream no longer needed
 
     val offsets: Map[Int, Long] = {
       var acc = 0L

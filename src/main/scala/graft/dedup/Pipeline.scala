@@ -33,7 +33,8 @@ object Pipeline {
       signatures: DataFrame,
       candidates: DataFrame,
       pairs: DataFrame,
-      components: DataFrame
+      components: DataFrame,
+      substring: Option[DataFrame] = None
   )
 
   /** Stage 1 logic (no checkpoint): tokenize + ids + lineage. */
@@ -140,6 +141,21 @@ object Pipeline {
       Components.assignAll(encoded, pairs)
     )
 
-    Tables(docs, vocab, encoded, signatures, candidates, pairs, components)
+    // Optional third detector: substring near-clones (separate pair table —
+    // these fail the set-Jaccard threshold BY DESIGN, the union dilutes the
+    // embedded content, so they must not be Jaccard-verified away).
+    val substring =
+      if (!cfg.substringDedup) None
+      else
+        Some(Checkpoints.stage(spark, "substring", p("substring"), Nil, Seq(p("docs")))(
+          SuffixDedup.run(
+            input
+              .dropDuplicates("repo", "path", "commit")
+              .join(docs.select("doc_id", "repo", "path", "commit", "group"), Seq("repo", "path", "commit"))
+              .select(col("doc_id"), col("group"), col("content"))
+          )
+        ))
+
+    Tables(docs, vocab, encoded, signatures, candidates, pairs, components, substring)
   }
 }

@@ -1,0 +1,176 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Substring near-clone detection — the third detector of the north_star
+  * design ("suffix-array-based substring dedup"): catches one file embedded
+  * inside another, which set-Jaccard misses (the union dilutes the overlap).
+  *
+  * Scale shape:
+  *  1. candidate generation by WINNOWING fingerprints (Schleimer et al.,
+  *     SIGMOD'03 — the MOSS scheme): per doc, rolling Rabin-Karp hashes of
+  *     every k-char gram, keep the minimum in each window of `window`
+  *     consecutive grams. Guarantee: any common substring of length >=
+  *     k + window - 1 shares at least one fingerprint. Fingerprints are tiny
+  *     (~2/window per char), and bucketing them is one shuffle.
+  *  2. boilerplate control: fingerprints present in more than `maxFpDf` docs
+  *     are dropped (license headers would otherwise bucket half the corpus —
+  *     same idea as the vocabulary max-df cap).
+  *  3. exact verification per candidate pair with a SUFFIX AUTOMATON of the
+  *     shorter content run over the longer — O(|a|+|b|) longest-common-
+  *     substring, no quadratic DP. Pairs with LCS >= minMatch are emitted
+  *     with their containment ratio.
+  */
+object SuffixDedup {
+
+  final case class SubConfig(
+      k: Int = 64,          // gram length (chars)
+      window: Int = 33,     // winnowing window -> guarantee at k+window-1 = 96 chars
+      minMatch: Int = 96,   // minimum LCS length to report
+      maxFpDf: Int = 200,   // fingerprint document-frequency cap (boilerplate)
+      maxBucket: Int = 1000 // bucket cap for pair generation
+  )
+
+  private val Base = 1000003L
+  private val Mod = (1L << 61) - 1
+
+  /** Winnowed fingerprints of `content` — deterministic, allocation-light. */
+  def fingerprints(content: String, k: Int, window: Int): Array[Long] = {
+    val n = content.length
+    if (n < k) return Array.empty
+    val m = n - k + 1
+    val hs = new Array[Long](m)
+    // rolling polynomial hash over chars, mod 2^61-1 via Math.multiplyHigh-free
+    // arithmetic: keep values < 2^31 by folding with a second multiply step
+    var h = 0L
+    var pow = 1L
+    var i = 0
+    def mulmod(a: Long, b: Long): Long = {
+      // a, b < 2^61; use BigInt-free 128-bit multiply via Math.multiplyHigh
+      val hi = Math.multiplyHigh(a, b)
+      val lo = a * b
+      // fold 128-bit product mod 2^61-1
+      val r = (lo & Mod) + ((lo >>> 61) | (hi << 3)) // hi:lo >> 61
+      if (r >= Mod) r - Mod else r
+    }
+    i = 0
+    while (i < k) {
+      h = (mulmod(h, Base) + content.charAt(i)) % Mod
+      if (i > 0) pow = mulmod(pow, Base)
+      i += 1
+    }
+    hs(0) = h
+    i = k
+    while (i < n) {
+      h = (h + Mod - mulmod(content.charAt(i - k), pow) % Mod) % Mod
+      h = (mulmod(h, Base) + content.charAt(i)) % Mod
+      hs(i - k + 1) = h
+      i += 1
+    }
+    // winnow: min of each window, record once per distinct position
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    if (m <= window) { out += hs.min }
+    else {
+      var prevPos = -1
+      var w0 = 0
+      while (w0 + window <= m) {
+        var best = w0
+        var j = w0 + 1
+        while (j < w0 + window) { if (hs(j) <= hs(best)) best = j; j += 1 }
+        if (best != prevPos) { out += hs(best); prevPos = best }
+        w0 += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Longest common substring via suffix automaton of `s` run over `t`. */
+  def lcsLen(s: String, t: String): Int = {
+    if (s.isEmpty || t.isEmpty) return 0
+    // suffix automaton of s
+    val maxN = 2 * s.length + 5
+    val len = new Array[Int](maxN)
+    val link = new Array[Int](maxN)
+    val trans = Array.fill(maxN)(new java.util.HashMap[Character, Integer]())
+    var last = 0
+    var size = 1
+    link(0) = -1
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val cur = size; size += 1
+      len(cur) = len(last) + 1
+      var p = last
+      while (p != -1 && !trans(p).containsKey(c)) { trans(p).put(c, cur); p = link(p) }
+      if (p == -1) link(cur) = 0
+      else {
+        val q: Int = trans(p).get(c)
+        if (len(p) + 1 == len(q)) link(cur) = q
+        else {
+          val clone = size; size += 1
+          len(clone) = len(p) + 1
+          link(clone) = link(q)
+          trans(clone).putAll(trans(q))
+          while (p != -1 && { val tq = trans(p).get(c); tq != null && tq.intValue == q }) {
+            trans(p).put(c, clone); p = link(p)
+          }
+          link(q) = clone
+          link(cur) = clone
+        }
+      }
+      last = cur
+      i += 1
+    }
+    // run t through it
+    var v = 0
+    var l = 0
+    var best = 0
+    i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (trans(v).containsKey(c)) { v = trans(v).get(c); l += 1 }
+      else {
+        while (v != -1 && !trans(v).containsKey(c)) v = link(v)
+        if (v == -1) { v = 0; l = 0 }
+        else { l = len(v) + 1; v = trans(v).get(c) }
+      }
+      if (l > best) best = l
+      i += 1
+    }
+    best
+  }
+
+  /** docs: (doc_id, group, content). Returns (group, a, b, lcs_len,
+    * containment) for pairs sharing a verified substring >= minMatch chars. */
+  def run(docs: DataFrame, cfg: SubConfig = SubConfig()): DataFrame = {
+    val k = cfg.k; val w = cfg.window
+    val fpUdf = udf((content: String) => fingerprints(content, k, w))
+    val fps = docs
+      .select(col("doc_id"), col("group"), explode(fpUdf(col("content"))).as("fp"))
+
+    // boilerplate cap: drop fingerprints shared by too many docs
+    val common = fps.groupBy("fp").agg(count(lit(1)).as("df")).filter(col("df") > cfg.maxFpDf)
+    val kept = fps.join(common.select("fp"), Seq("fp"), "left_anti")
+
+    val candidates = PairGen
+      .pairsFromBuckets(kept, Seq("group", "fp"), cfg.maxBucket)
+
+    val minMatch = cfg.minMatch
+    val lcsUdf = udf((x: String, y: String) =>
+      if (x.length <= y.length) lcsLen(x, y) else lcsLen(y, x)
+    )
+    val ca = docs.select(col("doc_id").as("a"), col("group"), col("content").as("content_a"))
+    val cb = docs.select(col("doc_id").as("b"), col("content").as("content_b"))
+    candidates
+      .join(ca, "a")
+      .join(cb, "b")
+      .withColumn("lcs_len", lcsUdf(col("content_a"), col("content_b")))
+      .filter(col("lcs_len") >= minMatch)
+      .withColumn(
+        "containment",
+        col("lcs_len").cast("double") / least(length(col("content_a")), length(col("content_b")))
+      )
+      .select(col("group"), col("a"), col("b"), col("lcs_len"), col("containment"))
+  }
+}
