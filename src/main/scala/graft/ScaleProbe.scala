@@ -17,10 +17,10 @@ object ScaleProbe {
     n/secs
   }
   def main(args: Array[String]): Unit = {
-    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES","150000").toLong
+    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES","100000").toLong
     run(8, 2000) // JIT warmup
+    val t2 = run(2, n)
     val t8 = run(8, n)
-    val t32 = run(32, n)
-    println(f"SCALE efficiency=${t32/t8/4.0}%.3f")
+    println(f"SCALE efficiency_2to8=${t8/t2/4.0}%.3f")
   }
 }

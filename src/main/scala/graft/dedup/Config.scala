@@ -17,10 +17,14 @@ package graft.dedup
   *    S-curve crosses 0.5 at (1/32)^(1/4) ~= 0.42, giving capture probability
   *    ~0.9998 at the default dedup threshold 0.7 — comfortably above the
   *    recall >= 0.99 target for pairs at or above `threshold`.
-  *  - `maxDf`: drop tokens/shingles present in more than this fraction of the
-  *    corpus docs (boilerplate: license headers, common imports). The inverse
-  *    of the reference's min-df prune (code/Stage01PreprocessData.py:139-152);
-  *    disabled (1.0) by default to preserve exact reference parity.
+  *  - `maxDf`: tokens/shingles present in more than this fraction of the
+  *    corpus docs (boilerplate: license headers, common imports) are excluded
+  *    from SIGNATURES (candidate generation only — verification keeps full
+  *    sets, so emitted sims are exactly the reference's). The inverse of the
+  *    reference's min-df prune (code/Stage01PreprocessData.py:139-152).
+  *    Without it, boilerplate gives every co-tagged pair Jaccard ~0.2-0.3 and
+  *    LSH floods verification with O(n^2) junk candidates; the parity suite
+  *    asserts recall >= 0.99 is preserved with the cap active.
   *  - `maxBucket`: LSH band buckets larger than this are salted into
   *    sub-buckets for pair generation so a single hot band hash cannot
   *    produce an O(B^2) straggler task.
@@ -29,7 +33,7 @@ final case class Config(
     groupCol: String = "lang",
     shingleK: Int = 1,
     minDf: Int = 2,
-    maxDf: Double = 1.0,
+    maxDf: Double = 0.2,
     numPerms: Int = 128,
     bands: Int = 32,
     threshold: Double = 0.7,

@@ -37,10 +37,11 @@ object Pipeline {
       substring: Option[DataFrame] = None
   )
 
-  /** Stage 1 logic (no checkpoint): tokenize + ids + lineage. */
+  /** Stage 1 logic (no checkpoint): tokenize + ids + lineage. Key dedup is
+    * folded into the id-assignment shuffle (equal keys sort adjacent). */
   def prepareDocs(input: DataFrame, cfg: Config): DataFrame = {
-    val deduped = input.dropDuplicates("repo", "path", "commit")
-    val withId = Ids.assignDense(deduped, Seq("repo", "path", "commit"), "doc_id")
+    val withId =
+      Ids.assignDense(input, Seq("repo", "path", "commit"), "doc_id", dropDuplicateKeys = true)
     withId
       .withColumn("group", col(cfg.groupCol))
       .withColumn("content_sha", sha2(col("content"), 256))
@@ -114,20 +115,28 @@ object Pipeline {
     )
 
     // Only docs that survived pruning take part in classes / signatures.
+    // Persisted: consumed by the signatures stage AND pair expansion — without
+    // the cache its groupBy+join lineage re-executes in every consumer.
     val classMap = exactClassMap(docs.join(encoded.select("doc_id"), "doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val signatures = Checkpoints.stage(spark, "signatures", p("signatures"), Seq("group"), Seq(p("encoded")))(
-      SimHash.withSimhash(
-        MinHash.withSignature(
-          encoded.join(
-            classMap.filter(col("doc_id") === col("rep_id")).select("doc_id"),
-            "doc_id"
-          ),
-          cfg
-        ),
-        cfg
-      )
-    )
+    val signatures = Checkpoints.stage(spark, "signatures", p("signatures"), Seq("group"), Seq(p("encoded")))({
+      // Boilerplate cap: tokens in more than maxDf of docs (license headers,
+      // ubiquitous keywords) are excluded from SIGNATURES — without this,
+      // every boilerplate-sharing doc pair has Jaccard ~0.2-0.3 and LSH
+      // banding floods verification with O(n^2) junk candidates. Verification
+      // still runs on the FULL sets, so emitted sims keep reference semantics.
+      val hot = Vocabulary.hotTokenIds(vocab, encoded.count(), cfg)
+      val reps = classMap.filter(col("doc_id") === col("rep_id")).select("doc_id")
+      val sigInput = encoded
+        .join(reps, "doc_id")
+        .withColumn("sig_tokens", array_except(col("tokens"), lit(hot)))
+        .filter(size(col("sig_tokens")) > 0)
+        .withColumn("tokens", col("sig_tokens"))
+        .drop("sig_tokens")
+      SimHash.withSimhash(MinHash.withSignature(sigInput, cfg), cfg)
+        .drop("tokens") // signature table carries signatures, not sets
+    })
 
     val candidates = Checkpoints.stage(spark, "candidates", p("candidates"), Nil, Seq(p("signatures")))(
       candidatesFor(signatures, cfg)

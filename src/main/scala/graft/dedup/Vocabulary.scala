@@ -22,17 +22,32 @@ object Vocabulary {
   /** docs: (doc_id, group, tokens: array<string>) with tokens distinct.
     * Returns (token: string, df: long, token_id: long) with dense determin-
     * istic ids ordered by token — a pure hash aggregate + one ranged shuffle.
+    *
+    * NOTE: only the reference's min-df prune happens here; the max-df
+    * boilerplate cap applies to SIGNATURES only (see [[hotTokenIds]]) so the
+    * verification sets keep full reference semantics.
     */
   def build(docs: DataFrame, cfg: Config): DataFrame = {
-    val nDocs = docs.count().toDouble
     val df = docs
       .select(explode(col("tokens")).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= cfg.minDf)
-      .filter(col("df") <= lit(math.max(cfg.minDf.toDouble, cfg.maxDf * nDocs)))
     Ids.assignDense(df, Seq("token"), "token_id")
   }
+
+  /** Token ids too common to carry signal: df > maxDf * nDocs. By pigeonhole
+    * there are at most avgTokensPerDoc / maxDf of them (a few hundred), so a
+    * driver-side collect + broadcast is safe at any corpus size. */
+  def hotTokenIds(vocab: DataFrame, nDocs: Long, cfg: Config): Array[Int] =
+    if (cfg.maxDf >= 1.0) Array.empty
+    else
+      vocab
+        .filter(col("df") > lit(cfg.maxDf * nDocs))
+        .select(col("token_id").cast("int"))
+        .collect()
+        .map(_.getInt(0))
+        .sorted
 
   /** Dictionary-encode docs to sorted int arrays: (doc_id, group,
     * tokens: array<int>, n_tokens). The explode + equi-join is the Spark

@@ -142,6 +142,22 @@ class KernelSpec extends SparkSpec {
     assert(a.map(_._1).sameElements(a.map(_._1).sorted))
   }
 
+  test("assignDense with dropDuplicateKeys keeps one row per key, ids stay dense") {
+    val df = spark
+      .createDataFrame((0 until 300).map(i => (f"k${i % 100}%04d", i)))
+      .toDF("k", "v")
+      .repartition(5)
+    val got = Ids
+      .assignDense(df, Seq("k"), "id", dropDuplicateKeys = true)
+      .select("k", "id")
+      .as[(String, Long)]
+      .collect()
+      .sortBy(_._2)
+    assert(got.length == 100)
+    assert(got.map(_._2).sameElements(0L until 100L))
+    assert(got.map(_._1).distinct.length == 100)
+  }
+
   // --- connected components ---
 
   test("large-star/small-star equals union-find (randomized graphs)") {
