@@ -1,0 +1,68 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import graft.dedup._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Dumps `explain("formatted")` for the load-bearing plans to PLANS.md —
+  * the artifact for reviewing shuffle placement, pushed filters, and
+  * whole-stage-codegen coverage after each change.
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession
+      .builder()
+      .master("local[4]")
+      .appName("graft-plans")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val sf = "/root/testdata/sf0.001"
+    def capture(df: DataFrame): String = {
+      val bos = new ByteArrayOutputStream()
+      Console.withOut(new PrintStream(bos, true, "UTF-8")) { df.explain("formatted") }
+      bos.toString(StandardCharsets.UTF_8)
+    }
+
+    val cfg = Config()
+    val input = CorpusGen.corpus(spark, 1000).toDF()
+    val docs = Pipeline.prepareDocs(input, cfg)
+    val vocab = Vocabulary.build(docs, cfg)
+    val encoded = Vocabulary.encode(docs, vocab)
+    val sigs = SimHash.withSimhash(MinHash.withSignature(encoded, cfg), cfg)
+
+    val sections = Seq(
+      "q13_doc_pairs (flagship: within-group exact Jaccard over pruned tokens)" ->
+        SparkEntry.queries("q13_doc_pairs")(spark, sf),
+      "q04_join_revenue_by_nation (broadcast dim join)" ->
+        SparkEntry.queries("q04_join_revenue_by_nation")(spark, sf),
+      "q07_filter_project (pushdown check: PushedFilters + pruned ReadSchema)" ->
+        SparkEntry.queries("q07_filter_project")(spark, sf),
+      "vocabulary build (explode + partial hash agg)" -> vocab,
+      "dictionary encode (explode + join + collect_list)" -> encoded,
+      "LSH candidate pairs (band explode + bucket pairing)" ->
+        MinHash.candidatePairs(sigs, cfg),
+      "verify (candidates x encoded x encoded + jaccard kernel)" ->
+        Jaccard.verify(MinHash.candidatePairs(sigs, cfg), encoded, cfg.threshold)
+    )
+
+    val md = new StringBuilder("# Physical plans (explain formatted)\n")
+    sections.foreach { case (title, df) =>
+      md.append(s"\n## $title\n\n```\n${capture(df)}```\n")
+    }
+    Files.write(
+      Paths.get("PLANS.md"),
+      md.toString.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE,
+      StandardOpenOption.TRUNCATE_EXISTING
+    )
+    println(s"wrote PLANS.md (${md.length} chars)")
+    spark.stop()
+  }
+}

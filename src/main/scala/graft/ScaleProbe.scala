@@ -17,7 +17,7 @@ object ScaleProbe {
     n/secs
   }
   def main(args: Array[String]): Unit = {
-    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES","100000").toLong
+    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES","250000").toLong
     run(8, 2000) // JIT warmup
     val t2 = run(2, n)
     val t8 = run(8, n)

@@ -32,9 +32,13 @@ object CorpusGen {
   private val header: String =
     (0 until 40).map(k => s"license hdr${k} boilerplate").mkString(" ")
 
-  // 400 identifier-ish pool tokens + a few stopwords/digits to exercise filters
+  // Shared keyword pool (language keywords, common library names) + a few
+  // stopwords/digits to exercise the filters. Identifiers proper live in
+  // per-repo namespaces (below) — real corpora do NOT draw every file from
+  // one tiny global vocabulary, and a generator that does makes every
+  // unrelated pair ~7% similar, flooding candidate generation quadratically.
   private val pool: Array[String] =
-    (0 until 400).map(k => s"ident${k}") .toArray ++
+    (0 until 400).map(k => s"ident${k}").toArray ++
       Array("the", "and", "of", "to", "1", "22", "12-34", "a")
 
   private def rng(seed: Long): () => Long = {
@@ -50,8 +54,13 @@ object CorpusGen {
 
   private def baseTokens(baseId: Long, seed: Long): Array[String] = {
     val r = rng(seed ^ (baseId * 0x5851f42d4c957f2dL))
+    val repo = baseId / 100
     val n = 40 + (math.abs(r()) % 80).toInt
-    Array.tabulate(n)(_ => pool((math.abs(r()) % pool.length).toInt))
+    Array.tabulate(n) { _ =>
+      // ~30% shared keywords, ~70% repo-local identifiers
+      if (math.abs(r()) % 10 < 3) pool((math.abs(r()) % pool.length).toInt)
+      else s"r${repo}v${math.abs(r()) % 200}"
+    }
   }
 
   private def mutate(tokens: Array[String], mutSeed: Long): Array[String] = {
