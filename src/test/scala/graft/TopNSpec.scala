@@ -1,0 +1,81 @@
+package graft
+
+import graft.dedup.{PairGen, TopN}
+import org.apache.spark.sql.functions._
+
+class TopNSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val pairs = Seq(
+    // (group, a, b, sim)
+    ("g1", 1L, 2L, 0.9), ("g1", 1L, 3L, 0.8), ("g1", 2L, 3L, 0.7),
+    ("g1", 1L, 4L, 0.6), ("g1", 3L, 4L, 0.5),
+    ("g2", 10L, 11L, 0.95), ("g2", 10L, 12L, 0.95)
+  ).toDF("group", "a", "b", "sim")
+
+  test("globalPerGroup keeps top-N by sim per group (reference T1)") {
+    val got = TopN
+      .globalPerGroup(pairs, 2)
+      .select("group", "a", "b")
+      .as[(String, Long, Long)]
+      .collect()
+      .toSet
+    assert(got == Set(("g1", 1L, 2L), ("g1", 1L, 3L), ("g2", 10L, 11L), ("g2", 10L, 12L)))
+  }
+
+  test("perProbe emits rank 1..N per doc over symmetric expansion (reference T2)") {
+    val got = TopN
+      .perProbe(pairs, 2)
+      .select("probe", "matched", "rank")
+      .as[(Long, Long, Int)]
+      .collect()
+      .groupBy(_._1)
+      .view
+      .mapValues(_.sortBy(_._3).map(m => (m._2, m._3)).toList)
+      .toMap
+    // doc 1: matches 2 (0.9), 3 (0.8), 4 (0.6) -> top2 = 2,3
+    assert(got(1L) == List((2L, 1), (3L, 2)))
+    // doc 4: matches 1 (0.6), 3 (0.5)
+    assert(got(4L) == List((1L, 1), (3L, 2)))
+    // doc 10: ties at 0.95 broken by matched id asc
+    assert(got(10L) == List((11L, 1), (12L, 2)))
+  }
+
+  test("closest applies the min-similarity floor (reference T3, default 0.05)") {
+    val withTiny = pairs.union(Seq(("g1", 5L, 6L, 0.01)).toDF("group", "a", "b", "sim"))
+    val got = TopN.closest(withTiny, 3, minSimilarity = 0.05)
+    assert(got.filter(col("probe") === 5L || col("probe") === 6L).count() == 0)
+    assert(got.filter(col("probe") === 1L).count() == 3)
+  }
+
+  test("groupStats matches manual aggregation (reference A4)") {
+    val r = TopN.groupStats(pairs).filter(col("group") === "g1").head()
+    assert(r.getAs[Long]("n_pairs") == 5)
+    assert(math.abs(r.getAs[Double]("avg_sim") - 0.7) < 1e-9)
+    assert(r.getAs[Double]("min_sim") == 0.5 && r.getAs[Double]("max_sim") == 0.9)
+  }
+
+  test("PairGen: full expansion under the cap equals all unordered pairs") {
+    val rows = (1L to 30L).map(i => ("g", "b0", 0L, i)).toDF("group", "band", "band_hash", "doc_id")
+    val got = PairGen
+      .pairsFromBuckets(rows, Seq("group", "band", "band_hash"), maxBucket = 100)
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val want = (for { i <- 1L to 30L; j <- (i + 1) to 30L } yield (i, j)).toSet
+    assert(got == want)
+  }
+
+  test("PairGen: oversized buckets chain-link (connected, bounded output)") {
+    val rows = (1L to 500L).map(i => ("g", "b0", 0L, i)).toDF("group", "band", "band_hash", "doc_id")
+    val got = PairGen
+      .pairsFromBuckets(rows, Seq("group", "band", "band_hash"), maxBucket = 100)
+      .as[(Long, Long)]
+      .collect()
+    assert(got.length == (1 to PairGen.ChainWidth).map(w => 500 - w).sum)
+    // chain connectivity: consecutive ids linked
+    val set = got.toSet
+    (1L until 500L).foreach(i => assert(set.contains((i, i + 1))))
+    assert(PairGen.oversizedBuckets(rows, Seq("group", "band", "band_hash"), 100) == 1)
+  }
+}
