@@ -13,14 +13,15 @@ object ScaleProbe {
     Pipeline.run(s, CorpusGen.corpus(s, n).toDF(), Config(), work).components.count()
     val secs = (System.nanoTime()-t0)/1e9
     s.stop(); SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-    println(f"SCALE cpus=$cpus n=$n secs=$secs%.1f files/sec=${n/secs}%.0f work=$work")
-    n/secs
+    println(f"SCALE cpus=$cpus n=$n secs=$secs%.1f files/sec=${n/secs}%.0f")
+    secs
   }
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES","250000").toLong
-    run(8, 2000) // JIT warmup
-    val t2 = run(2, n)
-    val t8 = run(8, n)
-    println(f"SCALE efficiency_2to8=${t8/t2/4.0}%.3f")
+    run(8, 2000) // warmup
+    val legs = Seq(2, 8, 2, 8).map(c => c -> run(c, n))
+    val t2 = legs.filter(_._1 == 2).map(_._2).min
+    val t8 = legs.filter(_._1 == 8).map(_._2).min
+    println(f"SCALE efficiency_2to8=${t2/t8/4.0}%.3f")
   }
 }

@@ -2,6 +2,8 @@ package graft.dedup
 
 import java.nio.charset.StandardCharsets
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -50,15 +52,14 @@ object Checkpoints {
         .parquet(path)
       val wallMs = (System.nanoTime() - t0) / 1000000
 
-      val written = spark.read.parquet(path)
-      val metricKey =
-        if (partitionCols.nonEmpty) concat_ws("/", partitionCols.map(col): _*)
-        else lit("__table__")
-      written
-        .groupBy(metricKey.as("partition"))
-        .agg(count(lit(1)).as("rows"))
-        .withColumn("stage", lit(name))
-        .withColumn("wall_ms", lit(wallMs))
+      // Per-partition row counts straight from the parquet FOOTERS — a
+      // driver-side metadata walk, no Spark job, no data re-scan. Partition
+      // value = the hive-style directory components of each file's path.
+      val counts = footerCounts(spark, path)
+      import spark.implicits._
+      counts.toSeq
+        .map { case (part, rows) => (part, rows, name, wallMs) }
+        .toDF("partition", "rows", "stage", "wall_ms")
         .coalesce(1)
         .write
         .mode("overwrite")
@@ -73,6 +74,31 @@ object Checkpoints {
       finally out.close()
     }
     spark.read.parquet(path)
+  }
+
+  /** (partition -> row count) from parquet file footers under `path`.
+    * O(#files) driver-side metadata reads; "__table__" for unpartitioned. */
+  def footerCounts(spark: SparkSession, path: String): Map[String, Long] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(root, true)
+    val acc = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val rootStr = root.toUri.getPath
+    while (it.hasNext) {
+      val f = it.next()
+      val p = f.getPath
+      if (p.getName.endsWith(".parquet")) {
+        val rel = p.getParent.toUri.getPath.stripPrefix(rootStr).stripPrefix("/")
+        val part = if (rel.isEmpty) "__table__" else rel
+        val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+          spark.sparkContext.hadoopConfiguration,
+          p,
+          org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER
+        )
+        acc(part) += footer.getBlocks.asScala.map(_.getRowCount).sum
+      }
+    }
+    if (acc.isEmpty) Map("__table__" -> 0L) else acc.toMap
   }
 
   /** Anti-join resume for incrementally extended outputs (reference:

@@ -62,7 +62,8 @@ object Jaccard {
     candidates
       .join(docsA, "a")
       .join(docsB, "b")
-      .withColumn("sim", simUdf(col("tokens_a"), col("tokens_b")))
+      // codegen'd Catalyst expression (no UDF boxing) — see JaccardExpression
+      .withColumn("sim", JaccardSorted(col("tokens_a"), col("tokens_b")))
       .filter(col("sim") > 0.0 && col("sim") >= minSim)
       .select(col("group"), col("a"), col("b"), col("sim"))
   }

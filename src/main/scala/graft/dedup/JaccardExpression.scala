@@ -1,0 +1,70 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Allocation-free kernel shared by interpreted eval and generated code.
+  * Reads the two sorted int arrays straight out of Tungsten `ArrayData`
+  * (no boxing, no scala collection conversion — the two costs a ScalaUDF
+  * pays on every row). */
+object JaccardKernel {
+  def sim(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getInt(i); val y = b.getInt(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    if (inter == 0) 0.0
+    else Jaccard.round6(inter.toDouble / (na + nb - inter).toDouble)
+  }
+}
+
+/** Codegen'd exact set-Jaccard over two sorted int arrays — the custom
+  * Catalyst `Expression` upgrade over the v0 ScalaUDF (SURVEY.md §2.6, §7.3).
+  * Stays inside whole-stage codegen: the generated code calls the static
+  * kernel directly on Tungsten arrays.
+  *
+  * Semantics identical to [[Jaccard.jaccard6]] (reference inner loop,
+  * code/Stage05ComputeSimilarity.py:113-132, CPython HALF_EVEN 6-dp) —
+  * asserted equal property-style in the test suite.
+  */
+case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(e =>
+      e.dataType match {
+        case ArrayType(IntegerType, _) => true
+        case _                         => false
+      }
+    )
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"jaccard_sorted expects two array<int> args, got (${left.dataType}, ${right.dataType})"
+    )
+  }
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaccardKernel.sim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = graft.dedup.JaccardKernel.sim($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+
+  override def prettyName: String = "jaccard_sorted"
+}
+
+object JaccardSorted {
+  def apply(a: Column, b: Column): Column =
+    GraftBridge.column(JaccardSorted(GraftBridge.expression(a), GraftBridge.expression(b)))
+}

@@ -80,6 +80,23 @@ class KernelSpec extends SparkSpec {
     })
   }
 
+  test("JaccardSorted expression equals the scala kernel (codegen + interpreted)") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 200).map { _ =>
+      val a = Array.fill(rnd.nextInt(40))(rnd.nextInt(300)).distinct.sorted
+      val b = Array.fill(rnd.nextInt(40))(rnd.nextInt(300)).distinct.sorted
+      (a, b)
+    }
+    val got = rows
+      .toDF("a", "b")
+      .select(dedup.JaccardSorted(col("a"), col("b")).as("sim"))
+      .as[Double]
+      .collect()
+    rows.zip(got).foreach { case ((a, b), sim) =>
+      assert(sim == dedup.Jaccard.jaccard6(a, b), s"a=${a.mkString(",")} b=${b.mkString(",")}")
+    }
+  }
+
   // --- MinHash ---
 
   test("minhash estimate approximates true jaccard within 128-perm tolerance") {
