@@ -52,7 +52,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES", "150000").toLong
+    val nFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES", "250000").toLong
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "2").toInt
 
     // part 1: operator queries at the harness parallelism

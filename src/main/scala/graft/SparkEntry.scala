@@ -307,7 +307,10 @@ object SparkEntry {
       graft.dedup.SuffixDedup.run(
         t(s, dir, "documents").select(col("doc_id"), col("lang").as("group"), col("text").as("content")),
         graft.dedup.SuffixDedup.SubConfig(k = 16, window = 5, minMatch = 20)
-      ))
+      )),
+    "q33_embedding_neardup" -> ((s, dir) =>
+      // ids only: the cosine itself is an order-dependent float aggregate
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), 0.35).select("a", "b"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -448,6 +451,14 @@ object SparkEntry {
         |SELECT vec_id, neighbor, rnk FROM (
         |  SELECT vec_id, neighbor,
         |   row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor) AS rnk FROM sym)
-        |WHERE rnk <= 3""".stripMargin.replace("\n", " ")
+        |WHERE rnk <= 3""".stripMargin.replace("\n", " "),
+    "q33_embedding_neardup" ->
+      """SELECT a, b FROM (SELECT x.vec_id AS a, y.vec_id AS b,
+        |  list_sum(list_transform(generate_series(1, len(x.embedding)),
+        |    i -> CAST(x.embedding[i] AS DOUBLE) * y.embedding[i]))
+        |  / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * v)))
+        |     * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * v)))) AS cosine
+        |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
+        |WHERE cosine >= 0.35""".stripMargin.replace("\n", " ")
   )
 }

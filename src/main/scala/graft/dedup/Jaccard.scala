@@ -59,12 +59,17 @@ object Jaccard {
   def verify(candidates: DataFrame, encoded: DataFrame, minSim: Double): DataFrame = {
     val docsA = encoded.select(col("doc_id").as("a"), col("group"), col("tokens").as("tokens_a"))
     val docsB = encoded.select(col("doc_id").as("b"), col("tokens").as("tokens_b"))
+    // single predicate: `sim >= max(minSim, minPositive)` subsumes the
+    // reference's `sim > 0` (code/Stage05ComputeSimilarity.py:132) — Catalyst
+    // substitutes the kernel into every predicate conjunct it pushes into the
+    // join, so one conjunct = one fewer kernel evaluation per candidate row
+    val floor = math.max(minSim, java.lang.Double.MIN_VALUE)
     candidates
       .join(docsA, "a")
       .join(docsB, "b")
       // codegen'd Catalyst expression (no UDF boxing) — see JaccardExpression
       .withColumn("sim", JaccardSorted(col("tokens_a"), col("tokens_b")))
-      .filter(col("sim") > 0.0 && col("sim") >= minSim)
+      .filter(col("sim") >= floor)
       .select(col("group"), col("a"), col("b"), col("sim"))
   }
 
