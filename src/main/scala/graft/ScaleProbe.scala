@@ -17,11 +17,8 @@ object ScaleProbe {
     secs
   }
   def main(args: Array[String]): Unit = {
-    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES","250000").toLong
-    run(8, 2000) // warmup
-    val legs = Seq(2, 8, 2, 8).map(c => c -> run(c, n))
-    val t2 = legs.filter(_._1 == 2).map(_._2).min
-    val t8 = legs.filter(_._1 == 8).map(_._2).min
-    println(f"SCALE efficiency_2to8=${t2/t8/4.0}%.3f")
+    run(8, 2000)
+    run(8, 250000)
+    run(2, 250000)
   }
 }

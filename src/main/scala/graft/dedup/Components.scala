@@ -62,16 +62,43 @@ object Components {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** Edge sets below this collapse on the driver: a union-find over a few
+    * million longs beats dozens of near-empty distributed rounds by orders of
+    * magnitude, and the dedup edge set is typically tiny next to the corpus.
+    * Above it, the O(log n) star-contraction runs distributed. */
+  val DriverLocalMaxEdges = 5000000L
+
   /** pairs: any DataFrame with (a, b) doc-id edge columns.
     * Returns assignments (doc_id, cluster_id) for every node in the graph.
     */
-  def run(pairs: DataFrame): DataFrame = {
+  def run(pairs: DataFrame, driverLocalMaxEdges: Long = DriverLocalMaxEdges): DataFrame = {
     var edges = pairs
       .select(col("a").as("src"), col("b").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var prev = checksum(edges)
+
+    if (prev._1 <= driverLocalMaxEdges) {
+      val collected = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      collected.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val nodes = collected.flatMap(e => Seq(e._1, e._2)).distinct
+      val spark0 = pairs.sparkSession
+      import spark0.implicits._
+      return nodes.map(n => (n, find(n))).toSeq.toDF("doc_id", "cluster_id")
+    }
 
     // Size the loop's shuffle parallelism to the EDGE data, not the session
     // default: the edge set is orders of magnitude smaller than the corpus,
@@ -106,8 +133,12 @@ object Components {
   }
 
   /** Assignments for the full doc set: singletons cluster to themselves. */
-  def assignAll(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val cc = run(pairs)
+  def assignAll(
+      docs: DataFrame,
+      pairs: DataFrame,
+      driverLocalMaxEdges: Long = DriverLocalMaxEdges
+  ): DataFrame = {
+    val cc = run(pairs, driverLocalMaxEdges)
     docs
       .select(col("doc_id"))
       .join(cc, Seq("doc_id"), "left")

@@ -55,14 +55,47 @@ object Tokenize {
         )
       ).otherwise(array().cast("array<string>"))
 
-  /** The document set: distinct sorted token/shingle strings. */
-  def tokenSet(text: Column, k: Int = 1): Column =
+  /** The document set: distinct sorted token/shingle strings — as a custom
+    * codegen'd expression (see [[TokenSet]]; the pure-built-ins version below
+    * is kept for the equivalence test). */
+  def tokenSet(text: Column, k: Int = 1): Column = TokenSet(text, k)
+
+  /** Same semantics composed from Catalyst built-ins only. Higher-order
+    * functions evaluate interpreted, so the compiled kernel above wins by a
+    * wide margin — this stays as the double-entry bookkeeping twin. */
+  def tokenSetBuiltins(text: Column, k: Int = 1): Column =
     array_sort(array_distinct(shingles(tokenStream(text), k)))
 
-  /** Plain-Scala twin of [[tokenStream]]/[[tokenSet]] for driver-side use
-    * (corpus generator ground truth) — must stay in lockstep with the Column
-    * version; the ScalaTest suite asserts they agree. */
+  /** Plain-Scala kernel (used by [[TokenSet]] and the corpus ground truth).
+    * Must stay in lockstep with the Column version and the reference regexes;
+    * the ScalaTest suite asserts all three agree. The digit filters are
+    * hand-rolled char loops equivalent to `^[0-9]+$` and
+    * `^[0-9]+(-[0-9]+)+$` (String.matches would recompile per call). */
   private val compiled = java.util.regex.Pattern.compile(TokenPattern)
+
+  private def isPureDigits(t: String): Boolean = {
+    var i = 0
+    while (i < t.length) { val c = t.charAt(i); if (c < '0' || c > '9') return false; i += 1 }
+    true
+  }
+
+  /** digit groups joined by single hyphens, >= 1 hyphen: `^[0-9]+(-[0-9]+)+$` */
+  private def isDigitChain(t: String): Boolean = {
+    if (t.isEmpty || t.charAt(0) == '-' || t.charAt(t.length - 1) == '-') return false
+    var hyphens = 0
+    var prevHyphen = false
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (c == '-') {
+        if (prevHyphen) return false
+        hyphens += 1; prevHyphen = true
+      } else if (c >= '0' && c <= '9') prevHyphen = false
+      else return false
+      i += 1
+    }
+    hyphens >= 1
+  }
 
   def tokenStreamScala(text: String): Array[String] = {
     val m = compiled.matcher(text.toLowerCase(java.util.Locale.ROOT))
@@ -70,7 +103,7 @@ object Tokenize {
     while (m.find()) {
       val t = m.group()
       if (
-        t.length > 1 && !t.matches(PureDigits) && !t.matches(DigitChain) &&
+        t.length > 1 && !isPureDigits(t) && !isDigitChain(t) &&
         !Stopwords.english.contains(t)
       ) out += t
     }

@@ -36,19 +36,26 @@ class KernelSpec extends SparkSpec {
       "Machine learning algorithm, advanced MACHINE learning!",
       "",
       "a b c 1 2 3",
-      "x-1 1-x 1-2-3 a-b-c 12-34 co-op 99bottles bottles99",
+      "x-1 1-x 1-2-3 a-b-c 12-34 1--2 -1-2 1-2- co-op 99bottles bottles99",
       CorpusGen.corpusLocal(5).map(_.content).mkString(" ")
     )
-    val viaColumn = texts
+    // both the codegen'd TokenSet expression and the pure-built-ins chain
+    val viaExpr = texts
       .toDF("text")
       .select(Tokenize.tokenSet(col("text")).as("t"))
       .as[Seq[String]]
       .collect()
-    texts.zip(viaColumn).foreach { case (text, gotCol) =>
-      val gotScala = Tokenize.tokenSetScala(text).toSeq
-      val gotOracle = RefOracle.tokenize(text).distinct.sorted
-      assert(gotCol == gotScala, s"column vs scala on: $text")
-      assert(gotCol == gotOracle, s"column vs oracle on: $text")
+    val viaBuiltins = texts
+      .toDF("text")
+      .select(Tokenize.tokenSetBuiltins(col("text")).as("t"))
+      .as[Seq[String]]
+      .collect()
+    texts.indices.foreach { i =>
+      val gotScala = Tokenize.tokenSetScala(texts(i)).toSeq
+      val gotOracle = RefOracle.tokenize(texts(i)).distinct.sorted
+      assert(viaExpr(i) == gotScala, s"expr vs scala on: ${texts(i)}")
+      assert(viaBuiltins(i) == gotScala, s"builtins vs scala on: ${texts(i)}")
+      assert(viaExpr(i) == gotOracle, s"expr vs oracle on: ${texts(i)}")
     }
   }
 
@@ -186,11 +193,19 @@ class KernelSpec extends SparkSpec {
       val pairs = edges.map { case (a, b) => RefOracle.Pair("g", a, b, 1.0) }
       val universe = edges.flatMap(e => Seq(e._1, e._2)).distinct
       val want = RefOracle.clusters(universe, pairs, 0.5)
+      // force the DISTRIBUTED star-contraction path (threshold 0)
       val got = Components
+        .run(edges.toDF("a", "b"), driverLocalMaxEdges = 0L)
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      // the driver-local union-find path must agree
+      val gotLocal = Components
         .run(edges.toDF("a", "b"))
         .collect()
         .map(r => r.getLong(0) -> r.getLong(1))
         .toMap
+      assert(gotLocal == got, s"local vs distributed CC mismatch, edges=$edges")
       // Components.run covers nodes that appear in non-self-loop edges
       val wantCovered = want.filter { case (k, _) =>
         edges.exists(e => (e._1 == k || e._2 == k) && e._1 != e._2)
