@@ -11,10 +11,12 @@ import org.apache.spark.sql.SparkSession
   *  1. every `SparkEntry.queries` entry timed at `SPARK_GRAFT_CPUS` over
   *     `SPARK_GRAFT_SF_DIR` (the driver's per-round harness contract);
   *  2. the flagship dedup pipeline over a generated source-code corpus at
-  *     TWO parallelism levels — local[8] vs local[32] — on identical input:
-  *     the sandbox stand-in for the north_rule's N-vs-4N-executor scaling
-  *     criterion (no real cluster here; see BASELINE.md). Efficiency =
-  *     (files/sec at 32) / (files/sec at 8) / 4.
+  *     TWO parallelism levels — N=2 vs 4N=8 worker threads — on identical
+  *     input: the sandbox stand-in for the north_rule's N-vs-4N-executor
+  *     scaling criterion (no multi-node cluster here; rationale for the
+  *     parallelism choice in BASELINE.md). Efficiency =
+  *     (files/sec at 8) / (files/sec at 2) / 4, best-of over interleaved
+  *     repeated legs because the VM is noisy.
   *
   * Prints ONE JSON line; also writes BENCH/BASELINE.md with the full table.
   */
@@ -52,7 +54,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES", "250000").toLong
+    val nFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES", "1500000").toLong
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "2").toInt
 
     // part 1: operator queries at the harness parallelism
