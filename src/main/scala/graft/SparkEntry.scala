@@ -85,6 +85,68 @@ object SparkEntry {
        |pt AS (SELECT tok.doc_id, tok.lang, tok.token FROM tok JOIN voc ON tok.token = voc.token),
        |sz AS (SELECT doc_id, count(*) AS n FROM pt GROUP BY doc_id)""".stripMargin.replace("\n", " ")
 
+  /** Config for the oracle-checked detector queries (q23/q24/q25): 64x2 LSH
+    * banding (capture ~1 - 1e-8 at sim 0.5) and an effectively-unbounded
+    * bucket cap, so the emitted pair set deterministically equals the full
+    * exact pair set and ANSI SQL can serve as the oracle. Production scale
+    * runs keep the default 32x4 banding + bucket cap (see [[Config]]). */
+  private val oracleLshCfg = Config(threshold = 0.5, bands = 64, maxBucket = 1 << 20)
+
+  // ---- SQL renderings of the hash kernels (validated against DuckDB) ----
+
+  /** Dense token ids: the engine assigns ids by token sort order
+    * (Ids.assignDense), reproduced as a 0-based row_number. */
+  private val vocabIdCte =
+    """vid AS (SELECT token, row_number() OVER (ORDER BY token) - 1 AS tid
+      |  FROM (SELECT DISTINCT token FROM pt) tt),
+      |encx AS (SELECT pt.doc_id, pt.lang, vid.tid FROM pt JOIN vid ON pt.token = vid.token)""".stripMargin
+      .replace("\n", " ")
+
+  /** The 128 deterministic MinHash coefficient rows (same seed as Config). */
+  private lazy val minhashCoefValues: String = {
+    val cfg = Config()
+    val (as, bs) = MinHash.coefficients(cfg.numPerms, cfg.seed)
+    (0 until cfg.numPerms).map(i => s"(${i}, ${as(i)}, ${bs(i)})").mkString(", ")
+  }
+
+  private val U64 = "18446744073709551616" // 2^64
+
+  /** (a * c) mod 2^64 for UBIGINT a and 64-bit constant c, via 32-bit split
+    * (HUGEINT is signed int128 — a direct 64x64 product overflows it). */
+  private def sqlMulMod64(v: String, c: String): String =
+    s"CAST(((CAST(($v) & 4294967295 AS HUGEINT) * $c) + " +
+      s"(((CAST(($v) >> 32 AS HUGEINT) * $c) % 4294967296) * 4294967296)) % $U64 AS UBIGINT)"
+
+  /** SplitMix64 finalizer (SimHash token hash) over UBIGINT — bit-for-bit
+    * equal to the JVM kernel (parity-tested against graft.dedup.SimHash). */
+  private def simhashCtes(seed: Long): String = {
+    val votes = (0 until 64)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(", ")
+    val shBits = (0 until 64)
+      .map(b => s"CASE WHEN v$b > 0 THEN ${java.lang.Long.toUnsignedString(1L << b)}::UBIGINT ELSE 0::UBIGINT END")
+      .mkString(" + ")
+    s"""h0 AS (SELECT doc_id, lang, CAST((CAST(xor(tid, $seed) AS HUGEINT) + 11400714819323198485) % $U64 AS UBIGINT) AS z0 FROM encx),
+       |h1 AS (SELECT doc_id, lang, ${sqlMulMod64("xor(z0, z0 >> 30)", "13787848793156543929")} AS z1 FROM h0),
+       |h2 AS (SELECT doc_id, lang, ${sqlMulMod64("xor(z1, z1 >> 27)", "10723151780598845931")} AS z2 FROM h1),
+       |hh AS (SELECT doc_id, lang, xor(z2, z2 >> 31) AS h FROM h2),
+       |votes AS (SELECT doc_id, lang, $votes FROM hh GROUP BY 1, 2),
+       |sh AS (SELECT doc_id, lang, $shBits AS sh FROM votes)""".stripMargin.replace("\n", " ")
+  }
+
+  /** Exact within-lang Jaccard pairs at `minSim` over pruned tokens with
+    * counts — shared tail of the q13/q23/q24 oracles. */
+  private def pairsWithCountsSql(minSim: Double): String =
+    s"""it AS (SELECT x.lang, x.doc_id AS a, y.doc_id AS b, count(*) AS inter_cnt
+       |  FROM pt x JOIN pt y ON x.token = y.token AND x.lang = y.lang AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2, 3),
+       |pc AS (SELECT it.lang, it.a, it.b, it.inter_cnt,
+       |  sa.n + sb.n - it.inter_cnt AS union_cnt,
+       |  CAST(it.inter_cnt AS DOUBLE) / (sa.n + sb.n - it.inter_cnt) AS sim
+       |FROM it JOIN sz sa ON it.a = sa.doc_id JOIN sz sb ON it.b = sb.doc_id
+       |WHERE CAST(it.inter_cnt AS DOUBLE) / (sa.n + sb.n - it.inter_cnt) >= $minSim)""".stripMargin
+      .replace("\n", " ")
+
   // ======================================================================
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -260,35 +322,54 @@ object SparkEntry {
     "q20_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"))),
 
     // ---- embedding similarity search ----
+    // exact top-k via the distributed block-nested-loop path (the naive
+    // per-pair cross join stays in Similarity as the sbt test oracle)
     "q21_cosine_top3" -> ((s, dir) =>
       Similarity
-        .cosineTopK(t(s, dir, "embeddings"), 3)
+        .cosineTopKBlocked(t(s, dir, "embeddings"), 3)
         .select(col("vec_id"), col("neighbor"), col("rank").cast("long").as("rnk"))),
 
-    // ---- non-SQL-expressible (rows-only checks): hash-based detectors ----
+    // ---- hash-based detectors, now with full DuckDB oracles ----
+    // The detectors are deterministic functions of (data, seed), so their
+    // outputs ARE oracle-able: the oracle SQL recomputes minhash/simhash/LSH
+    // semantics from the documents table (validated mix64/modmul parity).
     "q22_minhash_sigs" -> ((s, dir) => {
       val cfg = Config()
       MinHash
         .withSignature(docsEncoded(t(s, dir, "documents"), cfg), cfg)
         .select(col("doc_id"), posexplode(col("minhash")).as(Seq("perm", "min_val")))
+        .withColumn("perm", col("perm").cast("long"))
     }),
     "q23_lsh_pairs" -> ((s, dir) => {
-      val cfg = Config(threshold = 0.5)
+      // Oracle-equality configuration: 64 bands x 2 rows makes the miss
+      // probability of a true pair at sim 0.5 about (1 - 0.25)^64 ~ 1e-8,
+      // and the bucket cap is effectively off so chain-linking cannot drop
+      // candidates — the emitted set equals ALL exact pairs >= 0.5 (q13's
+      // oracle). Verified sims are raw quotients (verifyCounts), bit-equal
+      // to DuckDB's division.
+      val cfg = oracleLshCfg
       val enc = docsEncoded(t(s, dir, "documents"), cfg)
       val sigs = MinHash.withSignature(enc, cfg)
-      Jaccard.verify(MinHash.candidatePairs(sigs, cfg), enc, cfg.threshold)
+      Jaccard
+        .verifyCounts(MinHash.candidatePairs(sigs, cfg), enc, cfg.threshold)
+        .withColumnRenamed("group", "lang")
     }),
     "q24_simhash_pairs" -> ((s, dir) => {
-      val cfg = Config(threshold = 0.5)
+      val cfg = oracleLshCfg
       val enc = docsEncoded(t(s, dir, "documents"), cfg)
       val sigs = SimHash.withSimhash(enc, cfg)
-      Jaccard.verify(SimHash.candidatePairs(sigs, cfg), enc, cfg.threshold)
+      // pigeonhole blocking is COMPLETE for hamming <= 3 (bucket cap off),
+      // so the result is exactly {pairs: hamming(simhash) <= 3 ∧ sim >= 0.5}
+      // — which the oracle recomputes end to end (mix64 in SQL).
+      Jaccard
+        .verifyCounts(SimHash.candidatePairs(sigs, cfg), enc, cfg.threshold)
+        .withColumnRenamed("group", "lang")
     }),
     "q25_components" -> ((s, dir) => {
-      val cfg = Config(threshold = 0.5)
+      val cfg = oracleLshCfg
       val enc = docsEncoded(t(s, dir, "documents"), cfg)
       val sigs = MinHash.withSignature(enc, cfg)
-      val pairs = Jaccard.verify(MinHash.candidatePairs(sigs, cfg), enc, cfg.threshold)
+      val pairs = Jaccard.verifyCounts(MinHash.candidatePairs(sigs, cfg), enc, cfg.threshold)
       Components.assignAll(enc, pairs)
     }),
     "q28_lsh_cosine_top3" -> ((s, dir) =>
@@ -309,8 +390,10 @@ object SparkEntry {
         graft.dedup.SuffixDedup.SubConfig(k = 16, window = 5, minMatch = 20)
       )),
     "q33_embedding_neardup" -> ((s, dir) =>
-      // ids only: the cosine itself is an order-dependent float aggregate
-      Similarity.nearDupPairs(t(s, dir, "embeddings"), 0.35).select("a", "b"))
+      // ids only: the cosine itself is an order-dependent float aggregate.
+      // Blocked exact path — same pair set as the brute-force oracle by
+      // construction (no LSH recall gamble against the equality gate).
+      Similarity.nearDupPairsBlocked(t(s, dir, "embeddings"), 0.35).select("a", "b"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -346,9 +429,11 @@ object SparkEntry {
     "q08_distinct" ->
       "SELECT DISTINCT o_custkey, o_orderpriority FROM orders",
     "q10_running_window" ->
-      """SELECT event_id, user_id, sum(CAST(floor(value * 100) AS BIGINT))
+      // DuckDB widens windowed sum(BIGINT) to HUGEINT — cast back to BIGINT
+      // to match Spark's LongType (the round-1 hash mismatch).
+      """SELECT event_id, user_id, CAST(sum(CAST(floor(value * 100) AS BIGINT))
         | OVER (PARTITION BY user_id ORDER BY ts, event_id
-        | ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running FROM events""".stripMargin.replace("\n", " "),
+        | ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running FROM events""".stripMargin.replace("\n", " "),
     "q11_tokenize" ->
       s"WITH $refTokensCte SELECT doc_id, token FROM tok",
     "q12_vocab_df" ->
@@ -452,6 +537,35 @@ object SparkEntry {
         |  SELECT vec_id, neighbor,
         |   row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor) AS rnk FROM sym)
         |WHERE rnk <= 3""".stripMargin.replace("\n", " "),
+    "q22_minhash_sigs" ->
+      s"""WITH $prunedTokensCte,
+         |$vocabIdCte,
+         |coef(perm, ca, cb) AS (VALUES $minhashCoefValues)
+         |SELECT encx.doc_id, CAST(coef.perm AS BIGINT) AS perm,
+         |  min((CAST(coef.ca AS BIGINT) * encx.tid + coef.cb) % 2147483647) AS min_val
+         |FROM encx CROSS JOIN coef GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+    "q23_lsh_pairs" ->
+      s"""WITH $prunedTokensCte,
+         |${pairsWithCountsSql(0.5)}
+         |SELECT lang, a, b, inter_cnt, union_cnt, sim FROM pc""".stripMargin.replace("\n", " "),
+    "q24_simhash_pairs" ->
+      s"""WITH $prunedTokensCte,
+         |$vocabIdCte,
+         |${simhashCtes(42L)},
+         |cp AS (SELECT x.doc_id AS a, y.doc_id AS b FROM sh x JOIN sh y
+         |  ON x.lang = y.lang AND x.doc_id < y.doc_id AND bit_count(xor(x.sh, y.sh)) <= 3),
+         |${pairsWithCountsSql(0.5)}
+         |SELECT pc.lang, pc.a, pc.b, pc.inter_cnt, pc.union_cnt, pc.sim
+         |FROM pc JOIN cp ON pc.a = cp.a AND pc.b = cp.b""".stripMargin.replace("\n", " "),
+    "q25_components" ->
+      s"""WITH RECURSIVE $prunedTokensCte,
+         |${pairsWithCountsSql(0.5)},
+         |e AS (SELECT a AS u, b AS v FROM pc UNION ALL SELECT b, a FROM pc),
+         |r(node, lab) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e) t
+         |  UNION SELECT e.v, r.lab FROM r JOIN e ON r.node = e.u),
+         |cc AS (SELECT node, min(lab) AS cluster_id FROM r GROUP BY node)
+         |SELECT sz.doc_id, CAST(coalesce(cc.cluster_id, sz.doc_id) AS BIGINT) AS cluster_id
+         |FROM sz LEFT JOIN cc ON sz.doc_id = cc.node""".stripMargin.replace("\n", " "),
     "q33_embedding_neardup" ->
       """SELECT a, b FROM (SELECT x.vec_id AS a, y.vec_id AS b,
         |  list_sum(list_transform(generate_series(1, len(x.embedding)),

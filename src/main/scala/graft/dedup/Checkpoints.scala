@@ -52,14 +52,33 @@ object Checkpoints {
         .parquet(path)
       val wallMs = (System.nanoTime() - t0) / 1000000
 
-      // Per-partition row counts straight from the parquet FOOTERS — a
-      // driver-side metadata walk, no Spark job, no data re-scan. Partition
-      // value = the hive-style directory components of each file's path.
-      val counts = footerCounts(spark, path)
-      import spark.implicits._
-      counts.toSeq
-        .map { case (part, rows) => (part, rows, name, wallMs) }
-        .toDF("partition", "rows", "stage", "wall_ms")
+      // Per-partition row counts as a DISTRIBUTED count(*) over the written
+      // table: the scan reads zero data columns (partition values come from
+      // directory names, counts from parquet footers), so it is metadata-
+      // cheap AND parallel across files — unlike a driver-side footer walk,
+      // whose O(#files) serial time is a fixed cost that breaks scaling
+      // efficiency and would take hours at 10^9 files.
+      val written = spark.read.parquet(path)
+      val counts =
+        if (partitionCols.nonEmpty)
+          written
+            .groupBy(partitionCols.map(col): _*)
+            .agg(count(lit(1)).as("rows"))
+            .withColumn(
+              "partition",
+              concat_ws(
+                "/",
+                partitionCols.map(c => concat(lit(c + "="), col(c).cast("string"))): _*
+              )
+            )
+        else written.agg(count(lit(1)).as("rows")).withColumn("partition", lit("__table__"))
+      counts
+        .select(
+          col("partition"),
+          col("rows"),
+          lit(name).as("stage"),
+          lit(wallMs).as("wall_ms")
+        )
         .coalesce(1)
         .write
         .mode("overwrite")
@@ -76,8 +95,20 @@ object Checkpoints {
     spark.read.parquet(path)
   }
 
+  /** Total row count of a completed stage from its `_metrics` sidecar —
+    * O(1) driver work (the sidecar is one tiny file written at stage-commit
+    * time), replacing per-use footer walks. */
+  def stageRowCount(spark: SparkSession, path: String): Long =
+    spark.read
+      .parquet(path + "_metrics")
+      .agg(coalesce(sum(col("rows")), lit(0L)))
+      .head()
+      .getLong(0)
+
   /** (partition -> row count) from parquet file footers under `path`.
-    * O(#files) driver-side metadata reads; "__table__" for unpartitioned. */
+    * O(#files) driver-side metadata reads; "__table__" for unpartitioned.
+    * Test/debug utility only — the engine's hot path uses the `_metrics`
+    * sidecar ([[stageRowCount]]) written distributed at stage-commit time. */
   def footerCounts(spark: SparkSession, path: String): Map[String, Long] = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -97,7 +97,17 @@ object Components {
       val nodes = collected.flatMap(e => Seq(e._1, e._2)).distinct
       val spark0 = pairs.sparkSession
       import spark0.implicits._
-      return nodes.map(n => (n, find(n))).toSeq.toDF("doc_id", "cluster_id")
+      // parallelize with explicit slicing, NOT toDF: a LocalRelation ships
+      // the whole node->cluster map inside one task (round 1 logged 12 MB
+      // tasks); ParallelCollectionRDD serializes only each task's slice.
+      val assignments = nodes.map(n => (n, find(n)))
+      val slices = math.max(
+        spark0.sparkContext.defaultParallelism,
+        (assignments.length / 50000) + 1
+      )
+      return spark0.sparkContext
+        .parallelize(assignments.toIndexedSeq, slices)
+        .toDF("doc_id", "cluster_id")
     }
 
     // Size the loop's shuffle parallelism to the EDGE data, not the session

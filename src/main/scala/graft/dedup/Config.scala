@@ -25,9 +25,12 @@ package graft.dedup
   *    Without it, boilerplate gives every co-tagged pair Jaccard ~0.2-0.3 and
   *    LSH floods verification with O(n^2) junk candidates; the parity suite
   *    asserts recall >= 0.99 is preserved with the cap active.
-  *  - `maxBucket`: LSH band buckets larger than this are salted into
-  *    sub-buckets for pair generation so a single hot band hash cannot
-  *    produce an O(B^2) straggler task.
+  *  - `maxBucket`: LSH band buckets larger than this are CHAIN-LINKED for
+  *    pair generation (each doc pairs with its [[PairGen.ChainWidth]] sorted
+  *    forward neighbors only) so a single hot band hash cannot produce an
+  *    O(B^2) straggler task. Chaining preserves bucket connectivity (what
+  *    clustering needs) but drops pairwise candidates from that bucket —
+  *    each pair keeps `bands` independent chances in other buckets.
   */
 final case class Config(
     groupCol: String = "lang",

@@ -74,4 +74,29 @@ object Jaccard {
   }
 
   def hamming(x: Column, y: Column): Column = bit_count(x.bitwiseXOR(y))
+
+  private val interUdf: UserDefinedFunction =
+    udf((a: Seq[Int], b: Seq[Int]) => intersectSorted(a.toArray, b.toArray))
+
+  /** Oracle-facing verification: like [[verify]] but emits the raw integer
+    * counts and the UNROUNDED quotient, so an ANSI-SQL oracle can reproduce
+    * every emitted value bit-for-bit (the 6-dp HALF_EVEN rounding of the
+    * reference pipeline is deliberately not SQL-portable — DuckDB rounds
+    * half away from zero). Columns: (group, a, b, inter_cnt, union_cnt, sim).
+    */
+  def verifyCounts(candidates: DataFrame, encoded: DataFrame, minSim: Double): DataFrame = {
+    val docsA = encoded.select(col("doc_id").as("a"), col("group"), col("tokens").as("tokens_a"))
+    val docsB = encoded.select(col("doc_id").as("b"), col("tokens").as("tokens_b"))
+    candidates
+      .join(docsA, "a")
+      .join(docsB, "b")
+      .withColumn("inter_cnt", interUdf(col("tokens_a"), col("tokens_b")).cast("long"))
+      .withColumn(
+        "union_cnt",
+        (size(col("tokens_a")) + size(col("tokens_b"))).cast("long") - col("inter_cnt")
+      )
+      .withColumn("sim", col("inter_cnt").cast("double") / col("union_cnt"))
+      .filter(col("sim") >= minSim)
+      .select(col("group"), col("a"), col("b"), col("inter_cnt"), col("union_cnt"), col("sim"))
+  }
 }

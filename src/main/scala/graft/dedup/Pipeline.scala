@@ -126,9 +126,8 @@ object Pipeline {
       // every boilerplate-sharing doc pair has Jaccard ~0.2-0.3 and LSH
       // banding floods verification with O(n^2) junk candidates. Verification
       // still runs on the FULL sets, so emitted sims keep reference semantics.
-      // doc count from the encoded checkpoint's parquet footers — a driver
-      // metadata walk, no Spark job
-      val nDocs = Checkpoints.footerCounts(spark, p("encoded")).values.sum
+      // doc count from the encoded stage's _metrics sidecar — one tiny read
+      val nDocs = Checkpoints.stageRowCount(spark, p("encoded"))
       val hot = Vocabulary.hotTokenIds(vocab, nDocs, cfg)
       val reps = classMap.filter(col("doc_id") === col("rep_id")).select("doc_id")
       val sigInput = encoded

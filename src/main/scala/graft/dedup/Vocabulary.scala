@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   * (code/Stage03IndexPatents.py:40-48). Docs emptied by pruning are dropped
   * (code/Stage01PreprocessData.py:202).
   *
-  * Scale addition (no reference equivalent): optional max-df cap — tokens
-  * present in more than `maxDf` fraction of docs are boilerplate (license
-  * headers, ubiquitous keywords) that both blow up the candidate join and
-  * carry no discriminating signal. Disabled by default for parity.
+  * Scale addition (no reference equivalent): max-df cap — tokens present in
+  * more than `maxDf` fraction of docs (default 0.2, see [[Config]]) are
+  * boilerplate (license headers, ubiquitous keywords) that both blow up the
+  * candidate join and carry no discriminating signal. The cap applies to
+  * SIGNATURES only — verification keeps full sets, so reference parity of
+  * emitted sims is unaffected (asserted by the parity suite at recall 0.99).
   */
 object Vocabulary {
 

@@ -46,6 +46,37 @@ class OpsSpec extends SparkSpec {
     assert(recall > 0.3, s"top-1 recall $recall suspiciously low")
   }
 
+  test("blocked exact cosine paths equal the naive brute-force oracle") {
+    // tiny blockSize forces many tile pairs (incl. diagonal + off-diagonal)
+    val exactTopK = Similarity
+      .cosineTopK(embeddings, 3)
+      .select("vec_id", "neighbor", "rank")
+      .as[(Long, Long, Int)]
+      .collect()
+      .toSet
+    val blockedTopK = Similarity
+      .cosineTopKBlocked(embeddings, 3, blockSize = 17)
+      .select("vec_id", "neighbor", "rank")
+      .as[(Long, Long, Int)]
+      .collect()
+      .toSet
+    assert(blockedTopK == exactTopK)
+
+    val exactPairs = Similarity
+      .nearDupPairs(embeddings, 0.30)
+      .select("a", "b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val blockedPairs = Similarity
+      .nearDupPairsBlocked(embeddings, 0.30, blockSize = 17)
+      .select("a", "b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(blockedPairs == exactPairs)
+  }
+
   test("multimodal: features have the declared batch shape; frames follow metadata") {
     val media = Multimodal.synthesize(docs)
     val feats = Multimodal.extractFeatures(media, dim = 16)
