@@ -50,6 +50,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // task-side output commit (v2): job commit is O(1) instead of a
+      // driver-serial rename per task output — another fixed cost removed
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     localDir.foreach(d => b.config("spark.local.dir", d))
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -35,7 +35,7 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
 
     val cfg = Config(
-      groupCol = opts.getOrElse("--group-col", "lang"),
+      groupCols = opts.getOrElse("--group-col", "lang").split(',').toSeq,
       shingleK = opts.getOrElse("--shingle-k", "1").toInt,
       threshold = opts.getOrElse("--threshold", "0.7").toDouble
     )

@@ -59,6 +59,32 @@ object SparkEntry {
       .select("lang", "a", "b", "inter_cnt", "union_cnt", "sim")
   }
 
+  /** [[docPairs]] generalized to composite group keys: exact Jaccard pairs
+    * over pruned tokens, generated WITHIN each distinct `keys` combination
+    * (the reference's (year, patent_type) composite grouping,
+    * code/main_citation_control.py:297-328). */
+  private def docPairsBy(docs: DataFrame, minSim: Double, keys: Seq[String]): DataFrame = {
+    val kc = keys.map(col)
+    val tok = docs.select(
+      (col("doc_id") +: kc) :+ explode(Tokenize.tokenSet(col("text"))).as("token"): _*
+    )
+    val voc = tok.groupBy("token").agg(count(lit(1)).as("df")).filter(col("df") >= 2)
+    val pt = tok.join(voc.select("token"), "token")
+    val sz = pt.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val x = pt.select(kc :+ col("token") :+ col("doc_id").as("a"): _*)
+    val y = pt.select(kc :+ col("token") :+ col("doc_id").as("b"): _*)
+    x.join(y, keys :+ "token")
+      .filter(col("a") < col("b"))
+      .groupBy(kc :+ col("a") :+ col("b"): _*)
+      .agg(count(lit(1)).as("inter_cnt"))
+      .join(sz.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .withColumn("union_cnt", col("na") + col("nb") - col("inter_cnt"))
+      .withColumn("sim", col("inter_cnt").cast("double") / col("union_cnt"))
+      .filter(col("sim") >= minSim)
+      .select(kc ++ Seq(col("a"), col("b"), col("inter_cnt"), col("union_cnt"), col("sim")): _*)
+  }
+
   /** The documents table re-shaped as the dedup engine's encoded corpus. */
   private def docsEncoded(docs: DataFrame, cfg: Config): DataFrame = {
     val base = docs.select(
@@ -375,6 +401,26 @@ object SparkEntry {
     "q28_lsh_cosine_top3" -> ((s, dir) =>
       Similarity.lshCosineTopK(t(s, dir, "embeddings"), k = 3, dim = 64)),
 
+    // ---- composite group keys + group stats with distinct participants ----
+    // Pairs generated within (lang, source) — the reference's composite
+    // (year, patent_type) grouping — then per-group stats including the
+    // distinct-doc count (reference "Patents" column, main_closest.py:305-314).
+    // avg_sim is deliberately not emitted: order-dependent float aggregate.
+    "q32_two_key_stats" -> ((s, dir) => {
+      val keys = Seq("lang", "source")
+      val p = docPairsBy(t(s, dir, "documents"), 0.5, keys)
+        .select(col("lang"), col("source"), col("a"), col("b"), col("sim"))
+      val stats = graft.dedup.TopN.groupStats(p, keys)
+      stats.select(
+        col("lang"),
+        col("source"),
+        col("n_pairs"),
+        col("n_docs"),
+        col("min_sim"),
+        col("max_sim")
+      )
+    }),
+
     // ---- multimodal plumbing (decode stubbed; schema/batching real) ----
     "q26_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.synthesize(t(s, dir, "documents"))
@@ -566,6 +612,25 @@ object SparkEntry {
          |cc AS (SELECT node, min(lab) AS cluster_id FROM r GROUP BY node)
          |SELECT sz.doc_id, CAST(coalesce(cc.cluster_id, sz.doc_id) AS BIGINT) AS cluster_id
          |FROM sz LEFT JOIN cc ON sz.doc_id = cc.node""".stripMargin.replace("\n", " "),
+    "q32_two_key_stats" ->
+      s"""WITH toks0 AS (SELECT doc_id, lang, source, unnest(list_distinct(regexp_extract_all(lower(text), '$tokenPatternSql'))) AS token FROM documents),
+         |tok AS (SELECT doc_id, lang, source, token FROM toks0 WHERE $tokFilterSql),
+         |voc AS (SELECT token FROM tok GROUP BY token HAVING count(*) >= 2),
+         |pt AS (SELECT tok.doc_id, tok.lang, tok.source, tok.token FROM tok JOIN voc ON tok.token = voc.token),
+         |sz AS (SELECT doc_id, count(*) AS n FROM pt GROUP BY doc_id),
+         |it AS (SELECT x.lang, x.source, x.doc_id AS a, y.doc_id AS b, count(*) AS inter_cnt
+         |  FROM pt x JOIN pt y ON x.token = y.token AND x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |p AS (SELECT it.lang, it.source, it.a, it.b,
+         |  CAST(it.inter_cnt AS DOUBLE) / (sa.n + sb.n - it.inter_cnt) AS sim
+         |  FROM it JOIN sz sa ON it.a = sa.doc_id JOIN sz sb ON it.b = sb.doc_id
+         |  WHERE CAST(it.inter_cnt AS DOUBLE) / (sa.n + sb.n - it.inter_cnt) >= 0.5),
+         |st AS (SELECT lang, source, count(*) AS n_pairs, min(sim) AS min_sim, max(sim) AS max_sim
+         |  FROM p GROUP BY 1, 2),
+         |sym AS (SELECT lang, source, a AS doc FROM p UNION ALL SELECT lang, source, b FROM p),
+         |nd AS (SELECT lang, source, count(DISTINCT doc) AS n_docs FROM sym GROUP BY 1, 2)
+         |SELECT st.lang, st.source, st.n_pairs, nd.n_docs, st.min_sim, st.max_sim
+         |FROM st JOIN nd ON st.lang = nd.lang AND st.source = nd.source""".stripMargin.replace("\n", " "),
     "q33_embedding_neardup" ->
       """SELECT a, b FROM (SELECT x.vec_id AS a, y.vec_id AS b,
         |  list_sum(list_transform(generate_series(1, len(x.embedding)),

@@ -33,6 +33,32 @@ object Checkpoints {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  // Sidecar (metrics + lineage) writes run OFF the critical path: the next
+  // stage's jobs start while the sidecar count job runs concurrently (Spark
+  // schedules jobs from multiple threads). Pipeline.run awaits all pending
+  // sidecars before returning, so readers of a returned Tables always see
+  // complete sidecars. Without this, 7 stages x (count job + tiny write)
+  // serialize into the run's fixed cost — the kind of constant that caps
+  // scaling efficiency.
+  private val pendingSidecars =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.Future[_]]()
+  private lazy val sidecarPool = java.util.concurrent.Executors.newFixedThreadPool(
+    2,
+    (r: Runnable) => { val t = new Thread(r, "graft-sidecar"); t.setDaemon(true); t }
+  )
+
+  /** Block until `path`'s sidecar is written (no-op if none pending). */
+  def awaitSidecar(path: String): Unit = {
+    val f = pendingSidecars.remove(path)
+    if (f != null) f.get()
+  }
+
+  /** Block until every pending sidecar is written. */
+  def awaitAllSidecars(): Unit = {
+    val it = pendingSidecars.keys()
+    while (it.hasMoreElements) awaitSidecar(it.nextElement())
+  }
+
   /** Run `build` unless `path` already holds a completed stage; always return
     * the checkpointed table. Writes row-count metrics per partition column
     * value (per-partition lineage) into `<path>_metrics`.
@@ -51,59 +77,83 @@ object Checkpoints {
       (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
         .parquet(path)
       val wallMs = (System.nanoTime() - t0) / 1000000
-
-      // Per-partition row counts as a DISTRIBUTED count(*) over the written
-      // table: the scan reads zero data columns (partition values come from
-      // directory names, counts from parquet footers), so it is metadata-
-      // cheap AND parallel across files — unlike a driver-side footer walk,
-      // whose O(#files) serial time is a fixed cost that breaks scaling
-      // efficiency and would take hours at 10^9 files.
-      val written = spark.read.parquet(path)
-      val counts =
-        if (partitionCols.nonEmpty)
-          written
-            .groupBy(partitionCols.map(col): _*)
-            .agg(count(lit(1)).as("rows"))
-            .withColumn(
-              "partition",
-              concat_ws(
-                "/",
-                partitionCols.map(c => concat(lit(c + "="), col(c).cast("string"))): _*
-              )
-            )
-        else written.agg(count(lit(1)).as("rows")).withColumn("partition", lit("__table__"))
-      counts
-        .select(
-          col("partition"),
-          col("rows"),
-          lit(name).as("stage"),
-          lit(wallMs).as("wall_ms")
-        )
-        .coalesce(1)
-        .write
-        .mode("overwrite")
-        .parquet(path + "_metrics")
-
-      val lineage =
-        s"""{"stage":"${name}","path":"${path}","inputs":[${inputs.map(i => "\"" + i + "\"").mkString(",")}],"wall_ms":${wallMs}}"""
-      val lp = new Path(path + "_lineage.json")
-      val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val out = fs.create(lp, true)
-      try out.write(lineage.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
+      pendingSidecars.put(
+        path,
+        sidecarPool.submit(new Runnable {
+          def run(): Unit = writeSidecars(spark, name, path, partitionCols, inputs, wallMs)
+        })
+      )
+    } else if (!exists(spark, path + "_metrics")) {
+      // heal a run killed between data commit and sidecar write: the stage
+      // itself is complete (atomic _SUCCESS), only the sidecar is missing
+      writeSidecars(spark, name, path, partitionCols, inputs, wallMs = 0L)
     }
     spark.read.parquet(path)
+  }
+
+  /** Metrics (per-partition rows) + lineage manifest for a committed stage.
+    *
+    * Row counts come from a DISTRIBUTED count(*) over the written table: the
+    * scan reads zero data columns (partition values come from directory
+    * names, counts from parquet footers), so it is metadata-cheap AND
+    * parallel across files — unlike a driver-side footer walk, whose
+    * O(#files) serial time is a fixed cost that breaks scaling efficiency
+    * and would take hours at 10^9 files.
+    */
+  private def writeSidecars(
+      spark: SparkSession,
+      name: String,
+      path: String,
+      partitionCols: Seq[String],
+      inputs: Seq[String],
+      wallMs: Long
+  ): Unit = {
+    val written = spark.read.parquet(path)
+    val counts =
+      if (partitionCols.nonEmpty)
+        written
+          .groupBy(partitionCols.map(col): _*)
+          .agg(count(lit(1)).as("rows"))
+          .withColumn(
+            "partition",
+            concat_ws(
+              "/",
+              partitionCols.map(c => concat(lit(c + "="), col(c).cast("string"))): _*
+            )
+          )
+      else written.agg(count(lit(1)).as("rows")).withColumn("partition", lit("__table__"))
+    counts
+      .select(
+        col("partition"),
+        col("rows"),
+        lit(name).as("stage"),
+        lit(wallMs).as("wall_ms")
+      )
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(path + "_metrics")
+
+    val lineage =
+      s"""{"stage":"${name}","path":"${path}","inputs":[${inputs.map(i => "\"" + i + "\"").mkString(",")}],"wall_ms":${wallMs}}"""
+    val lp = new Path(path + "_lineage.json")
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(lp, true)
+    try out.write(lineage.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Total row count of a completed stage from its `_metrics` sidecar —
     * O(1) driver work (the sidecar is one tiny file written at stage-commit
     * time), replacing per-use footer walks. */
-  def stageRowCount(spark: SparkSession, path: String): Long =
+  def stageRowCount(spark: SparkSession, path: String): Long = {
+    awaitSidecar(path)
     spark.read
       .parquet(path + "_metrics")
       .agg(coalesce(sum(col("rows")), lit(0L)))
       .head()
       .getLong(0)
+  }
 
   /** (partition -> row count) from parquet file footers under `path`.
     * O(#files) driver-side metadata reads; "__table__" for unpartitioned.

@@ -2,6 +2,12 @@ package graft.dedup
 
 /** Knobs for the near-duplicate pipeline.
   *
+  * `groupCols`: pairs are generated within a group only — the reference's
+  * per-year file split (code/Stage04SplitDataPerYear.py:40-45), and its
+  * composite (year, patent_type) grouping in the control-matching drivers
+  * (code/main_citation_control.py:297-328). Multiple columns fold into one
+  * derived `group` key (composite value, also the checkpoint partition key).
+  *
   * Defaults mirror the reference (JiLisx/similarity_jaccard):
   *  - `minDf = 2`: vocabulary minimum document frequency
   *    (code/main_script.py:57, code/Stage01PreprocessData.py:231).
@@ -33,7 +39,7 @@ package graft.dedup
   *    each pair keeps `bands` independent chances in other buckets.
   */
 final case class Config(
-    groupCol: String = "lang",
+    groupCols: Seq[String] = Seq("lang"),
     shingleK: Int = 1,
     minDf: Int = 2,
     maxDf: Double = 0.2,

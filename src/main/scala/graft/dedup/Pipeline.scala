@@ -42,8 +42,11 @@ object Pipeline {
   def prepareDocs(input: DataFrame, cfg: Config): DataFrame = {
     val withId =
       Ids.assignDense(input, Seq("repo", "path", "commit"), "doc_id", dropDuplicateKeys = true)
+    val groupExpr =
+      if (cfg.groupCols.size == 1) col(cfg.groupCols.head).cast("string")
+      else concat_ws("\u0001", cfg.groupCols.map(c => col(c).cast("string")): _*)
     withId
-      .withColumn("group", col(cfg.groupCol))
+      .withColumn("group", groupExpr)
       .withColumn("content_sha", sha2(col("content"), 256))
       .withColumn("n_bytes", octet_length(col("content")))
       .withColumn("tokens", Tokenize.tokenSet(col("content"), cfg.shingleK))
@@ -166,6 +169,10 @@ object Pipeline {
               .select(col("doc_id"), col("group"), col("content"))
           )
         ))
+
+    // join the off-critical-path sidecar writes: callers of run() may read
+    // any stage's _metrics / _lineage.json immediately
+    Checkpoints.awaitAllSidecars()
 
     Tables(docs, vocab, encoded, signatures, candidates, pairs, components, substring)
   }

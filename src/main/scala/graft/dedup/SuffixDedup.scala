@@ -85,14 +85,72 @@ object SuffixDedup {
     out.toArray
   }
 
-  /** Longest common substring via suffix automaton of `s` run over `t`. */
+  /** Boxing-free per-state transition map (char -> state id): open
+    * addressing over parallel char/int arrays, linear probing, grow at 3/4
+    * load. Empty slot = vals(i) == -1 (state ids are always >= 0, so -1 is a
+    * safe sentinel even for the NUL character as a key). Replaces the
+    * round-1 `java.util.HashMap[Character, Integer]`, whose per-transition
+    * boxing dominated the verify kernel's runtime. */
+  private final class CharMap private (
+      private var keys: Array[Char],
+      private var vals: Array[Int],
+      private var n: Int
+  ) {
+    def this() = this(new Array[Char](4), Array.fill(4)(-1), 0)
+
+    @inline private def slot(c: Char, cap: Int): Int = ((c * 0x9e3779b1) >>> 16) & (cap - 1)
+
+    def get(c: Char): Int = {
+      val cap = vals.length
+      var i = slot(c, cap)
+      while (vals(i) != -1) {
+        if (keys(i) == c) return vals(i)
+        i = (i + 1) & (cap - 1)
+      }
+      -1
+    }
+
+    def put(c: Char, v: Int): Unit = {
+      val cap = vals.length
+      var i = slot(c, cap)
+      while (vals(i) != -1 && keys(i) != c) i = (i + 1) & (cap - 1)
+      if (vals(i) == -1) {
+        if ((n + 1) * 4 > cap * 3) { grow(); put(c, v); return }
+        keys(i) = c
+        n += 1
+      }
+      vals(i) = v
+    }
+
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals
+      keys = new Array[Char](ok.length * 2)
+      vals = Array.fill(ov.length * 2)(-1)
+      n = 0
+      var i = 0
+      while (i < ok.length) { if (ov(i) != -1) put(ok(i), ov(i)); i += 1 }
+    }
+
+    /** Snapshot copy (suffix-automaton clone step). */
+    def copy(): CharMap = new CharMap(keys.clone(), vals.clone(), n)
+  }
+
+  /** Longest common substring via suffix automaton of `s` run over `t`.
+    * O(|s| + |t|); transitions are flat open-addressed char->int maps
+    * allocated lazily per state (most states have 1-2 transitions). */
   def lcsLen(s: String, t: String): Int = {
     if (s.isEmpty || t.isEmpty) return 0
     // suffix automaton of s
     val maxN = 2 * s.length + 5
     val len = new Array[Int](maxN)
     val link = new Array[Int](maxN)
-    val trans = Array.fill(maxN)(new java.util.HashMap[Character, Integer]())
+    val trans = new Array[CharMap](maxN)
+    @inline def tGet(st: Int, c: Char): Int = { val m = trans(st); if (m == null) -1 else m.get(c) }
+    @inline def tPut(st: Int, c: Char, v: Int): Unit = {
+      var m = trans(st)
+      if (m == null) { m = new CharMap(); trans(st) = m }
+      m.put(c, v)
+    }
     var last = 0
     var size = 1
     link(0) = -1
@@ -102,19 +160,17 @@ object SuffixDedup {
       val cur = size; size += 1
       len(cur) = len(last) + 1
       var p = last
-      while (p != -1 && !trans(p).containsKey(c)) { trans(p).put(c, cur); p = link(p) }
+      while (p != -1 && tGet(p, c) < 0) { tPut(p, c, cur); p = link(p) }
       if (p == -1) link(cur) = 0
       else {
-        val q: Int = trans(p).get(c)
+        val q = tGet(p, c)
         if (len(p) + 1 == len(q)) link(cur) = q
         else {
           val clone = size; size += 1
           len(clone) = len(p) + 1
           link(clone) = link(q)
-          trans(clone).putAll(trans(q))
-          while (p != -1 && { val tq = trans(p).get(c); tq != null && tq.intValue == q }) {
-            trans(p).put(c, clone); p = link(p)
-          }
+          trans(clone) = if (trans(q) == null) null else trans(q).copy()
+          while (p != -1 && tGet(p, c) == q) { tPut(p, c, clone); p = link(p) }
           link(q) = clone
           link(cur) = clone
         }
@@ -129,11 +185,12 @@ object SuffixDedup {
     i = 0
     while (i < t.length) {
       val c = t.charAt(i)
-      if (trans(v).containsKey(c)) { v = trans(v).get(c); l += 1 }
+      val direct = tGet(v, c)
+      if (direct >= 0) { v = direct; l += 1 }
       else {
-        while (v != -1 && !trans(v).containsKey(c)) v = link(v)
+        while (v != -1 && tGet(v, c) < 0) v = link(v)
         if (v == -1) { v = 0; l = 0 }
-        else { l = len(v) + 1; v = trans(v).get(c) }
+        else { l = len(v) + 1; v = tGet(v, c) }
       }
       if (l > best) best = l
       i += 1

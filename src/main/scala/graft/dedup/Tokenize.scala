@@ -21,9 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object Tokenize {
 
-  /** Java-regex rendering of the reference tokenizer (ASCII-only, so \b
-    * behaves identically to Python's). */
-  val TokenPattern = "\\b[a-zA-Z0-9][-a-zA-Z0-9]*[a-zA-Z0-9]\\b"
+  /** Java-regex rendering of the reference tokenizer. The `(?U)` flag
+    * (UNICODE_CHARACTER_CLASS) makes Java's `\b` Unicode-aware like CPython
+    * `re`'s: without it, "naïve" yields tokens "na"/"ve" here but NOTHING in
+    * the reference ('ï' is a word char to CPython, so there is no boundary).
+    * Verified against CPython on non-ASCII fixtures in KernelSpec. The
+    * character classes themselves stay ASCII — only boundary semantics
+    * change, so pure-ASCII corpora (and the DuckDB RE2 oracles, which have
+    * ASCII-only `\b`) are byte-identical with or without the flag. */
+  val TokenPattern = "(?U)\\b[a-zA-Z0-9][-a-zA-Z0-9]*[a-zA-Z0-9]\\b"
   val PureDigits = "^[0-9]+$"
   val DigitChain = "^[0-9]+(-[0-9]+)+$"
 

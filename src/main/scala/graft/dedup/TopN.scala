@@ -43,14 +43,25 @@ object TopN {
   def closest(pairs: DataFrame, n: Int, minSimilarity: Double = 0.05): DataFrame =
     perProbe(pairs.filter(col("sim") >= minSimilarity), n)
 
-  /** Per-group corpus stats (code/main_closest.py:272-315). */
-  def groupStats(pairs: DataFrame): DataFrame =
-    pairs
-      .groupBy("group")
+  /** Per-group corpus stats (code/main_closest.py:272-315), including the
+    * reference's distinct-participant count (the "Patents" column,
+    * code/main_closest.py:305-314): number of distinct docs appearing on
+    * either side of a pair in the group. `keys` supports composite groups
+    * (e.g. the reference's (year, patent_type)). */
+  def groupStats(pairs: DataFrame, keys: Seq[String] = Seq("group")): DataFrame = {
+    val kc = keys.map(col)
+    val base = pairs
+      .groupBy(kc: _*)
       .agg(
         count(lit(1)).as("n_pairs"),
         avg(col("sim")).as("avg_sim"),
         min(col("sim")).as("min_sim"),
         max(col("sim")).as("max_sim")
       )
+    val sym = pairs
+      .select(kc :+ col("a").as("doc"): _*)
+      .unionByName(pairs.select(kc :+ col("b").as("doc"): _*))
+    val participants = sym.groupBy(kc: _*).agg(countDistinct(col("doc")).as("n_docs"))
+    base.join(participants, keys)
+  }
 }

@@ -59,6 +59,38 @@ class KernelSpec extends SparkSpec {
     }
   }
 
+  test("non-ASCII boundaries match CPython re (Unicode \\b, not Java ASCII \\b)") {
+    // Expectations computed with CPython:
+    //   re.findall(r'\b[a-zA-Z0-9][-a-zA-Z0-9]*[a-zA-Z0-9]\b', s.lower())
+    // CPython's \b treats ï/ö/é/ü as WORD chars: "naïve" yields NO token
+    // (Java's ASCII \b would wrongly emit "na"/"ve"). (?U) aligns them.
+    val fixtures = Seq(
+      "naïve zorbly vectör glomp" -> Seq("glomp", "zorbly"),
+      "déjà-vu kernelô x9 blip-7a" -> Seq("blip-7a", "vu", "x9"),
+      "über prägnanz qq" -> Seq("qq"),
+      "touché flambé zz9" -> Seq("zz9")
+    )
+    val viaExpr = fixtures
+      .map(_._1)
+      .toDF("text")
+      .select(Tokenize.tokenSet(col("text")).as("t"))
+      .as[Seq[String]]
+      .collect()
+    fixtures.zipWithIndex.foreach { case ((text, want), i) =>
+      assert(Tokenize.tokenSetScala(text).toSeq == want, s"scala kernel on: $text")
+      assert(viaExpr(i) == want, s"column expr on: $text")
+    }
+    val viaBuiltins = fixtures
+      .map(_._1)
+      .toDF("text")
+      .select(Tokenize.tokenSetBuiltins(col("text")).as("t"))
+      .as[Seq[String]]
+      .collect()
+    fixtures.zipWithIndex.foreach { case ((text, want), i) =>
+      assert(viaBuiltins(i) == want, s"builtins on: $text")
+    }
+  }
+
   test("shingles: ordered k-grams before dedup") {
     val got = Tokenize.tokenSetScala("alpha beta gamma alpha beta", 2)
     assert(got.toSet == Set("alpha beta", "beta gamma", "gamma alpha"))

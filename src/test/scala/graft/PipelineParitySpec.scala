@@ -68,6 +68,41 @@ class PipelineParitySpec extends SparkSpec {
     assert(gotClusters == wantClusters)
   }
 
+  test("composite group keys: pairs stay within (lang, repo) groups") {
+    val files = CorpusGen.corpusLocal(600)
+    val input = spark.createDataFrame(files)
+    val cfg2 = Config(groupCols = Seq("lang", "repo"))
+    val work = tmpDir("graft-twokey")
+    val t = Pipeline.run(spark, input, cfg2, work)
+
+    // every emitted pair's group is the composite of BOTH members' keys
+    val keyOf = files.sortBy(f => (f.repo, f.path, f.commit)).zipWithIndex.map {
+      case (f, i) => i.toLong -> s"${f.lang}\u0001${f.repo}"
+    }.toMap
+    val got = t.pairs.select("group", "a", "b").collect()
+    assert(got.nonEmpty, "two-key fixture produced no pairs")
+    got.foreach { r =>
+      val (g, a, b) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(keyOf(a) == g && keyOf(b) == g, s"pair ($a,$b) crosses groups: $g")
+    }
+
+    // and it matches the oracle pair set restricted to same-(lang,repo)
+    // pairs (CorpusGen plants all duplicate classes within one repo, so the
+    // composite grouping must not LOSE planted pairs): exact precision,
+    // LSH-grade recall
+    val oracle = RefOracle
+      .allPairs(oracleDocs(files), cfg2.shingleK, cfg2.minDf)
+      .filter(_.sim >= cfg2.threshold)
+      .filter(p => keyOf(p.a) == keyOf(p.b))
+      .map(p => (keyOf(p.a), p.a, p.b, p.sim))
+      .toSet
+    val gotPairs = pairsOf(t.pairs)
+    assert(oracle.size > 50, s"fixture too weak: ${oracle.size} oracle pairs")
+    assert(gotPairs.subsetOf(oracle))
+    val recall = gotPairs.intersect(oracle).size.toDouble / oracle.size
+    assert(recall >= 0.99, s"recall $recall < 0.99 (${gotPairs.size} of ${oracle.size})")
+  }
+
   test("per-row invariant: content sha256 carried unchanged into the docs checkpoint") {
     val files = CorpusGen.corpusLocal(100)
     val input = spark.createDataFrame(files)

@@ -22,7 +22,8 @@ object RefOracle {
   final case class Doc(id: Long, group: String, content: String)
   final case class Pair(group: String, a: Long, b: Long, sim: Double)
 
-  private val tokenRe = java.util.regex.Pattern.compile("\\b[a-zA-Z0-9][-a-zA-Z0-9]*[a-zA-Z0-9]\\b")
+  // (?U): CPython's \b is Unicode-aware — see Tokenize.TokenPattern
+  private val tokenRe = java.util.regex.Pattern.compile("(?U)\\b[a-zA-Z0-9][-a-zA-Z0-9]*[a-zA-Z0-9]\\b")
 
   def tokenize(content: String, shingleK: Int = 1): Vector[String] = {
     val m = tokenRe.matcher(content.toLowerCase(java.util.Locale.ROOT))

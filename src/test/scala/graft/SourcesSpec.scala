@@ -25,6 +25,36 @@ class SourcesSpec extends SparkSpec {
     assert(r.getAs[Int]("year") == 2015)
   }
 
+  test("S2: header-sniffing reader — named columns when present, positional fallback") {
+    import java.nio.file.{Files, Paths}
+    val dir = tmpDir("graft-sniff")
+    // headered file with the expected columns in a DIFFERENT order + an extra
+    val withHeader = s"$dir/with_header.csv"
+    Files.write(
+      Paths.get(withHeader),
+      "year,extra,pnr,title\n2015,x,CN101,alpha\n2016,y,CN102,beta\n".getBytes("UTF-8")
+    )
+    // headerless file: same data positionally as (pnr, title, year)
+    val noHeader = s"$dir/no_header.csv"
+    Files.write(
+      Paths.get(noHeader),
+      "CN101,alpha,2015,junk\nCN102,beta,2016,junk\n".getBytes("UTF-8")
+    )
+    val want = Set(("CN101", "alpha", "2015"), ("CN102", "beta", "2016"))
+    val a = graft.sources.Sources
+      .readDelimited(spark, withHeader, Seq("pnr", "title", "year"))
+      .as[(String, String, String)]
+      .collect()
+      .toSet
+    val b = graft.sources.Sources
+      .readDelimited(spark, noHeader, Seq("pnr", "title", "year"))
+      .as[(String, String, String)]
+      .collect()
+      .toSet
+    assert(a == want, s"named-column read: $a")
+    assert(b == want, s"positional read: $b")
+  }
+
   test("S8/J7: anti-join resume skips keys already in the checkpoint") {
     val work = (1L to 100L).map(i => (i, s"payload$i")).toDF("k", "v")
     val done = (1L to 40L).map(i => Tuple1(i)).toDF("k")

@@ -53,6 +53,8 @@ class TopNSpec extends SparkSpec {
     assert(r.getAs[Long]("n_pairs") == 5)
     assert(math.abs(r.getAs[Double]("avg_sim") - 0.7) < 1e-9)
     assert(r.getAs[Double]("min_sim") == 0.5 && r.getAs[Double]("max_sim") == 0.9)
+    // distinct participants in g1: docs 1,2,3,4 (reference "Patents" column)
+    assert(r.getAs[Long]("n_docs") == 4)
   }
 
   test("PairGen: full expansion under the cap equals all unordered pairs") {
