@@ -421,6 +421,23 @@ object SparkEntry {
       )
     }),
 
+    // ---- case/control matching (J8, reference main_closest.py:133-141) ----
+    // targets (cases) = every 10th doc; matches ranked among controls only
+    "q34_case_control" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = docPairs(docs, 0.5).select(
+        col("lang").as("group"),
+        col("a"),
+        col("b"),
+        col("sim")
+      )
+      val targets = docs.filter(col("doc_id") % 10 === 0).select("doc_id")
+      graft.dedup.TopN
+        .caseControl(pairs, targets, n = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .withColumnRenamed("group", "lang")
+    }),
+
     // ---- multimodal plumbing (decode stubbed; schema/batching real) ----
     "q26_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.synthesize(t(s, dir, "documents"))
@@ -612,6 +629,16 @@ object SparkEntry {
          |cc AS (SELECT node, min(lab) AS cluster_id FROM r GROUP BY node)
          |SELECT sz.doc_id, CAST(coalesce(cc.cluster_id, sz.doc_id) AS BIGINT) AS cluster_id
          |FROM sz LEFT JOIN cc ON sz.doc_id = cc.node""".stripMargin.replace("\n", " "),
+    "q34_case_control" ->
+      s"""WITH $prunedTokensCte,
+         |${pairsWithCountsSql(0.5)},
+         |sym AS (SELECT lang, a AS probe, b AS matched, sim FROM pc
+         |  UNION ALL SELECT lang, b AS probe, a AS matched, sim FROM pc),
+         |cc AS (SELECT lang, probe, matched, sim,
+         |  row_number() OVER (PARTITION BY probe ORDER BY sim DESC, matched) AS rank
+         |  FROM sym WHERE probe % 10 = 0 AND matched % 10 <> 0 AND sim >= 0.05)
+         |SELECT lang, probe, matched, rank, sim FROM cc WHERE rank <= 3""".stripMargin
+        .replace("\n", " "),
     "q32_two_key_stats" ->
       s"""WITH toks0 AS (SELECT doc_id, lang, source, unnest(list_distinct(regexp_extract_all(lower(text), '$tokenPatternSql'))) AS token FROM documents),
          |tok AS (SELECT doc_id, lang, source, token FROM toks0 WHERE $tokFilterSql),

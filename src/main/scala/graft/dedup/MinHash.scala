@@ -78,14 +78,15 @@ object MinHash {
     })
   }
 
-  /** encoded (doc_id, group, tokens) -> (doc_id, group, minhash: array<long>). */
+  /** encoded (doc_id, group, tokens) -> (doc_id, group, minhash: array<long>).
+    * Native expression, not the UDF: no per-element boxing (HashExpressions). */
   def withSignature(encoded: DataFrame, cfg: Config): DataFrame =
-    encoded.withColumn("minhash", signatureUdf(cfg)(col("tokens")))
+    encoded.withColumn("minhash", MinHashSig(col("tokens"), cfg))
 
   /** signatures -> exploded band rows (group, band, band_hash, doc_id). */
   def bandRows(signatures: DataFrame, cfg: Config): DataFrame =
     signatures
-      .withColumn("bh", bandHashesUdf(cfg)(col("minhash")))
+      .withColumn("bh", BandHashes(col("minhash"), cfg))
       .select(
         col("group"),
         posexplode(col("bh")).as(Seq("band", "band_hash")),

@@ -21,7 +21,7 @@ object SimHash {
   val Blocks = 4 // 4 x 16-bit blocks -> complete for hamming <= 3
   val MaxHamming = 3
 
-  private def mix64(z0: Long): Long = {
+  private[dedup] def mix64(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
@@ -52,7 +52,8 @@ object SimHash {
   }
 
   def withSimhash(encoded: DataFrame, cfg: Config): DataFrame =
-    encoded.withColumn("simhash", simhashUdf(cfg)(col("tokens")))
+    // native expression, not the UDF: no per-element boxing (see HashExpressions)
+    encoded.withColumn("simhash", SimHash64(col("tokens"), cfg))
 
   /** (doc_id, group, simhash) -> block rows (group, block, block_val, doc_id). */
   def blockRows(signatures: DataFrame): DataFrame = {

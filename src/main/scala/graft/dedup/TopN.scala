@@ -43,6 +43,40 @@ object TopN {
   def closest(pairs: DataFrame, n: Int, minSimilarity: Double = 0.05): DataFrame =
     perProbe(pairs.filter(col("sim") >= minSimilarity), n)
 
+  /** Case/control matching (code/main_closest.py:133-141): for each TARGET
+    * (case) doc, rank its matches among NON-target (control) docs only —
+    * target-target pairs are excluded on both orientations. `targets` is a
+    * one-column (doc_id) table; broadcast-friendly when small (the usual
+    * case: a study cohort vs the corpus).
+    *
+    * Pairs where neither side is a target never become probe rows, matching
+    * the reference's per-line filter.
+    */
+  def caseControl(
+      pairs: DataFrame,
+      targets: DataFrame,
+      n: Int,
+      minSimilarity: Double = 0.05
+  ): DataFrame = {
+    val t = targets.select(col("doc_id")).distinct()
+    val sym = pairs
+      .filter(col("sim") >= minSimilarity)
+      .select(col("group"), col("a").as("probe"), col("b").as("matched"), col("sim"))
+      .unionByName(
+        pairs
+          .filter(col("sim") >= minSimilarity)
+          .select(col("group"), col("b").as("probe"), col("a").as("matched"), col("sim"))
+      )
+    val cased = sym
+      .join(t.select(col("doc_id").as("probe")), Seq("probe"), "left_semi")
+      .join(t.select(col("doc_id").as("matched")), Seq("matched"), "left_anti")
+    val w = Window.partitionBy(col("probe")).orderBy(desc("sim"), asc("matched"))
+    cased
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .select(col("group"), col("probe"), col("matched"), col("rank"), col("sim"))
+  }
+
   /** Per-group corpus stats (code/main_closest.py:272-315), including the
     * reference's distinct-participant count (the "Patents" column,
     * code/main_closest.py:305-314): number of distinct docs appearing on

@@ -174,6 +174,33 @@ class KernelSpec extends SparkSpec {
     }
   }
 
+  test("native hash expressions equal the scala kernels (minhash, simhash, band hashes)") {
+    val cfg = Config()
+    val (as, bs) = MinHash.coefficients(cfg.numPerms, cfg.seed)
+    val sets = Seq(
+      Array(3, 17, 99, 2048),
+      Array(0, 1, 2, 3, 4, 5),
+      Array(2147483646),
+      (1 to 200).map(_ * 7).toArray
+    )
+    val df = sets.map(_.toSeq).toDF("tokens")
+    val got = df
+      .select(
+        MinHashSig(col("tokens"), cfg).as("mh"),
+        SimHash64(col("tokens"), cfg).as("sh"),
+        BandHashes(MinHashSig(col("tokens"), cfg), cfg).as("bh")
+      )
+      .collect()
+    sets.zip(got).foreach { case (t, row) =>
+      val wantSig = MinHash.signatureScala(t, as, bs)
+      val wantSim = SimHash.simhash64(t, cfg.seed)
+      val wantBands = Array.tabulate(cfg.bands)(b => MinHash.bandHashScala(wantSig, b, cfg.rowsPerBand))
+      assert(row.getAs[collection.Seq[Long]]("mh").toSeq == wantSig.toSeq)
+      assert(row.getAs[Long]("sh") == wantSim)
+      assert(row.getAs[collection.Seq[Long]]("bh").toSeq == wantBands.toSeq)
+    }
+  }
+
   test("simhash of near-identical sets is within small hamming distance") {
     val tokens = Array.tabulate(200)(i => i * 7)
     val mutated = tokens.updated(5, 99991).updated(50, 99993)
