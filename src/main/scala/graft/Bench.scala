@@ -168,15 +168,15 @@ object Bench {
         val a = stages2.getOrElse(s, 0L) / 1000.0
         val b = stages8.getOrElse(s, 0L) / 1000.0
         val ratio = if (b > 0) a / b else 0.0
-        f"#| $s | $a%.1f | $b%.1f | $ratio%.2fx |"
+        f"| $s | $a%.1f | $b%.1f | $ratio%.2fx |"
       }
-      .mkString("\n")
+      .mkString("\n#")
     val legRows = legs.zipWithIndex
-      .map { case ((c, s), i) => f"#| ${i + 1} | local[$c] | $s%.1f |" }
-      .mkString("\n")
+      .map { case ((c, s), i) => f"| ${i + 1} | local[$c] | $s%.1f |" }
+      .mkString("\n#")
     val queryRows = results
-      .map { case (k, v, ok) => f"#| $k | $v%.2f | ${if (ok) "ok" else "FAILED"} |" }
-      .mkString("\n")
+      .map { case (k, v, ok) => f"| $k | $v%.2f | ${if (ok) "ok" else "FAILED"} |" }
+      .mkString("\n#")
     val md =
       f"""## BENCH results
          #

@@ -173,6 +173,23 @@ object SparkEntry {
        |WHERE CAST(it.inter_cnt AS DOUBLE) / (sa.n + sb.n - it.inter_cnt) >= $minSim)""".stripMargin
       .replace("\n", " ")
 
+  /** The 32 x 64 gaussian hyperplane matrix of [[Similarity.lshCosineTopK]]
+    * (seed 42) as DuckDB VALUES rows — Double.toString round-trips, so the
+    * oracle's dot products operate on bit-identical weights. */
+  private lazy val q28HyperplaneValues: String = {
+    val hp = Similarity.hyperplanes(dim = 64, planes = 32, seed = 42L)
+    hp.zipWithIndex
+      .map { case (row, p) => s"($p, [${row.mkString(", ")}]::DOUBLE[])" }
+      .mkString(", ")
+  }
+
+  /** DuckDB cosine between two DOUBLE[] columns, same evaluation shape as
+    * [[Similarity.cosine]] (index-ordered products, left-to-right sums). */
+  private def cosineSql(x: String, y: String): String =
+    s"""list_sum(list_transform(generate_series(1, len($x)), i -> $x[i] * $y[i]))
+       | / (sqrt(list_sum(list_transform($x, v -> v * v)))
+       |    * sqrt(list_sum(list_transform($y, v -> v * v))))""".stripMargin.replace("\n", " ")
+
   // ======================================================================
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -399,7 +416,11 @@ object SparkEntry {
       Components.assignAll(enc, pairs)
     }),
     "q28_lsh_cosine_top3" -> ((s, dir) =>
-      Similarity.lshCosineTopK(t(s, dir, "embeddings"), k = 3, dim = 64)),
+      // ids + rank only (the cosine double is an order-dependent aggregate);
+      // the oracle reproduces the sketch from the literal hyperplane matrix
+      Similarity
+        .lshCosineTopK(t(s, dir, "embeddings"), k = 3, dim = 64)
+        .select(col("vec_id"), col("neighbor"), col("rank").cast("long").as("rnk"))),
 
     // ---- composite group keys + group stats with distinct participants ----
     // Pairs generated within (lang, source) — the reference's composite
@@ -629,6 +650,26 @@ object SparkEntry {
          |cc AS (SELECT node, min(lab) AS cluster_id FROM r GROUP BY node)
          |SELECT sz.doc_id, CAST(coalesce(cc.cluster_id, sz.doc_id) AS BIGINT) AS cluster_id
          |FROM sz LEFT JOIN cc ON sz.doc_id = cc.node""".stripMargin.replace("\n", " "),
+    "q28_lsh_cosine_top3" ->
+      s"""WITH hp(p, w) AS (VALUES $q28HyperplaneValues),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |dots AS (SELECT e.vec_id, hp.p,
+         |  list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * hp.w[i])) AS d
+         |  FROM e CROSS JOIN hp),
+         |sk AS (SELECT vec_id, CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS sketch
+         |  FROM dots GROUP BY 1),
+         |blk AS (SELECT vec_id, t.b, (sketch >> (t.b * 8)) & 255 AS bv
+         |  FROM sk CROSS JOIN (VALUES (0), (1), (2), (3)) t(b)),
+         |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |  FROM blk x JOIN blk y ON x.b = y.b AND x.bv = y.bv AND x.vec_id < y.vec_id),
+         |pc AS (SELECT cand.a, cand.b, ${cosineSql("x.v", "y.v")} AS cosine
+         |  FROM cand JOIN e x ON cand.a = x.vec_id JOIN e y ON cand.b = y.vec_id),
+         |sym AS (SELECT a AS vec_id, b AS neighbor, cosine FROM pc
+         |  UNION ALL SELECT b, a, cosine FROM pc)
+         |SELECT vec_id, neighbor, rnk FROM (
+         |  SELECT vec_id, neighbor,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor) AS rnk FROM sym)
+         |WHERE rnk <= 3""".stripMargin.replace("\n", " "),
     "q34_case_control" ->
       s"""WITH $prunedTokensCte,
          |${pairsWithCountsSql(0.5)},

@@ -201,13 +201,18 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Deterministic gaussian hyperplane matrix (planes x dim) for `seed` —
+    * public so oracles can reproduce the sketch value-for-value. */
+  def hyperplanes(dim: Int, planes: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(planes, dim)(rnd.nextGaussian())
+  }
+
   /** Sign-bit sketch: bit i = sign(dot(v, hyperplane_i)), hyperplanes drawn
     * deterministically from `seed`. Collision probability of a bit is
     * 1 - theta/pi (Charikar '02). */
   def hyperplaneSketch(embeddings: DataFrame, dim: Int, planes: Int, seed: Long): DataFrame = {
-    val rnd = new java.util.Random(seed)
-    // gaussian hyperplanes, materialized as literal arrays (planes x dim)
-    val hp = Array.fill(planes, dim)(rnd.nextGaussian())
+    val hp = hyperplanes(dim, planes, seed)
     val sketch = (0 until planes)
       .map { p =>
         val plane = lit(hp(p))

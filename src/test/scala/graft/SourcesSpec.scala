@@ -65,6 +65,31 @@ class SourcesSpec extends SparkSpec {
     assert(Checkpoints.resumeAnti(work, work.select("k"), Seq("k")).count() == 0)
   }
 
+  test("S7: composite (two-column) partitioned sink with per-partition metrics") {
+    val work = tmpDir("graft-s7")
+    val rows = Seq(
+      (1L, "2015", "A", "x"), (2L, "2015", "A", "y"),
+      (3L, "2015", "B", "z"), (4L, "2016", "A", "w"), (5L, "2016", "B", "v")
+    ).toDF("id", "year", "typ", "payload")
+    val back = Checkpoints.stage(spark, "s7", s"$work/s7", Seq("year", "typ"))(rows)
+    Checkpoints.awaitAllSidecars()
+    assert(back.count() == 5)
+    // hive-style two-level partition dirs exist
+    val dirs = new java.io.File(s"$work/s7").listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("year=2015", "year=2016"))
+    // metrics sidecar has one row per (year, typ) partition with exact counts
+    val m = spark.read
+      .parquet(s"$work/s7_metrics")
+      .select("partition", "rows")
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    assert(m == Map(
+      "year=2015/typ=A" -> 2L, "year=2015/typ=B" -> 1L,
+      "year=2016/typ=A" -> 1L, "year=2016/typ=B" -> 1L
+    ))
+  }
+
   test("O5: base-50 codec matches the reference alphabet and round-trips") {
     // values checked against the reference algorithm by hand:
     // 0 -> "0"; 49 -> "?"; 50 -> "10"; 2500 -> "100"; 137 -> 2*50+37 -> "2@"
