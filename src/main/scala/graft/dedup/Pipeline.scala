@@ -114,7 +114,9 @@ object Pipeline {
       Vocabulary.build(docs, cfg)
     )
     val encoded = Checkpoints.stage(spark, "encoded", p("encoded"), Seq("group"), Seq(p("docs"), p("vocab")))(
-      Vocabulary.encode(docs, vocab)
+      // vocab size from the metrics sidecar picks the encode plan
+      // (broadcast map vs shuffle join) without an extra count job
+      Vocabulary.encode(docs, vocab, Some(Checkpoints.stageRowCount(spark, p("vocab"))))
     )
 
     // Only docs that survived pruning take part in classes / signatures.

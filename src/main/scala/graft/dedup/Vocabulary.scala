@@ -51,18 +51,67 @@ object Vocabulary {
         .map(_.getInt(0))
         .sorted
 
+  /** Vocabularies up to this many entries encode via a broadcast dictionary
+    * (a ~100-200 MB map — the standard small-dim treatment); beyond it the
+    * shuffle join takes over. At 10^12 files the min-df/max-df pruned
+    * vocabulary of token SHINGLES can exceed this, which is exactly when a
+    * shuffle join is the right plan anyway. */
+  val BroadcastMaxVocab: Long = 20000000L
+
   /** Dictionary-encode docs to sorted int arrays: (doc_id, group,
-    * tokens: array<int>, n_tokens). The explode + equi-join is the Spark
-    * shape of the reference's per-doc dictionary lookup loop
-    * (code/Stage03IndexPatents.py:40-48) — Catalyst broadcasts the vocab
-    * when it is small and falls back to a shuffle join when it is not.
+    * tokens: array<int>, n_tokens) — the reference's per-doc dictionary
+    * lookup loop (code/Stage03IndexPatents.py:40-48). Two plans, identical
+    * output:
+    *
+    *  - vocab fits [[BroadcastMaxVocab]]: MAP-SIDE encode through a
+    *    broadcast hash map. No explode, no shuffle, no re-grouping — the
+    *    round-2 bench showed the explode+join+groupBy shape shuffling ~90
+    *    token rows per doc (the single largest stage at 1.5M files); the
+    *    broadcast path is a narrow projection.
+    *  - otherwise: explode + shuffle equi-join + collect_list re-group
+    *    (scales to any vocabulary size).
+    *
+    * `vocabRows` lets callers pass a known count (e.g. from the checkpoint
+    * metrics sidecar) to skip the count job.
     */
-  def encode(docs: DataFrame, vocab: DataFrame): DataFrame = {
+  def encode(docs: DataFrame, vocab: DataFrame, vocabRows: Option[Long] = None): DataFrame = {
+    val n = vocabRows.getOrElse(vocab.count())
+    if (n <= BroadcastMaxVocab) encodeBroadcast(docs, vocab) else encodeJoin(docs, vocab)
+  }
+
+  /** Shuffle-join encode path (any vocabulary size). */
+  def encodeJoin(docs: DataFrame, vocab: DataFrame): DataFrame = {
     val exploded = docs.select(col("doc_id"), col("group"), explode(col("tokens")).as("token"))
     exploded
       .join(vocab.select(col("token"), col("token_id").cast("int").as("tid")), "token")
       .groupBy("doc_id", "group")
       .agg(sort_array(collect_list(col("tid"))).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")))
+      .filter(col("n_tokens") > 0)
+  }
+
+  /** Broadcast-map encode path: one narrow pass, tokens absent from the
+    * vocabulary (min-df casualties) are dropped like the join would. */
+  def encodeBroadcast(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val dict = new java.util.HashMap[String, Integer](1 << 16)
+    vocab.select(col("token"), col("token_id").cast("int")).collect().foreach { r =>
+      dict.put(r.getString(0), Integer.valueOf(r.getInt(1)))
+    }
+    val bDict = spark.sparkContext.broadcast(dict)
+    val encodeUdf = udf { (tokens: Seq[String]) =>
+      val d = bDict.value
+      val out = Array.newBuilder[Int]
+      tokens.foreach { t =>
+        val id = d.get(t)
+        if (id != null) out += id.intValue
+      }
+      val arr = out.result()
+      java.util.Arrays.sort(arr)
+      arr
+    }
+    docs
+      .select(col("doc_id"), col("group"), encodeUdf(col("tokens")).as("tokens"))
       .withColumn("n_tokens", size(col("tokens")))
       .filter(col("n_tokens") > 0)
   }

@@ -68,6 +68,20 @@ class PipelineParitySpec extends SparkSpec {
     assert(gotClusters == wantClusters)
   }
 
+  test("broadcast-map encode equals the shuffle-join encode plan") {
+    val files = CorpusGen.corpusLocal(300)
+    val docs = Pipeline.prepareDocs(spark.createDataFrame(files), cfg)
+    val vocab = Vocabulary.build(docs, cfg)
+    def rows(df: DataFrame): Map[Long, (String, Seq[Int])] =
+      df.select("doc_id", "group", "tokens")
+        .collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getAs[collection.Seq[Int]](2).toSeq))
+        .toMap
+    val viaJoin = rows(Vocabulary.encodeJoin(docs, vocab))
+    val viaBroadcast = rows(Vocabulary.encodeBroadcast(docs, vocab))
+    assert(viaJoin.nonEmpty && viaJoin == viaBroadcast)
+  }
+
   test("composite group keys: pairs stay within (lang, repo) groups") {
     val files = CorpusGen.corpusLocal(600)
     val input = spark.createDataFrame(files)
