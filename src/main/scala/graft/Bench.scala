@@ -108,7 +108,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES", "1500000").toLong
+    // 2.5M files: large enough that the ~30 s fixed fraction (driver-side
+    // dictionary collect, per-stage job scheduling/commit, components
+    // union-find) amortizes against ~10 min of parallel work per local[2]
+    // leg — the same reason real clusters bench scaling on big inputs.
+    val nFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES", "2500000").toLong
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
 
     // part 1: operator queries at the harness parallelism

@@ -459,6 +459,19 @@ object SparkEntry {
         .withColumnRenamed("group", "lang")
     }),
 
+    // ---- global top-N pairs per group (T1 over the pair table) ----
+    "q35_top_pairs_per_group" -> ((s, dir) => {
+      val pairs = docPairs(t(s, dir, "documents"), 0.5).select(
+        col("lang").as("group"),
+        col("a"),
+        col("b"),
+        col("sim")
+      )
+      graft.dedup.TopN
+        .globalPerGroup(pairs, 5)
+        .withColumnRenamed("group", "lang")
+    }),
+
     // ---- multimodal plumbing (decode stubbed; schema/batching real) ----
     "q26_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.synthesize(t(s, dir, "documents"))
@@ -650,6 +663,13 @@ object SparkEntry {
          |cc AS (SELECT node, min(lab) AS cluster_id FROM r GROUP BY node)
          |SELECT sz.doc_id, CAST(coalesce(cc.cluster_id, sz.doc_id) AS BIGINT) AS cluster_id
          |FROM sz LEFT JOIN cc ON sz.doc_id = cc.node""".stripMargin.replace("\n", " "),
+    "q35_top_pairs_per_group" ->
+      s"""WITH $prunedTokensCte,
+         |${pairsWithCountsSql(0.5)}
+         |SELECT lang, a, b, sim FROM (
+         |  SELECT lang, a, b, sim,
+         |   row_number() OVER (PARTITION BY lang ORDER BY sim DESC, a, b) AS rnk FROM pc)
+         |WHERE rnk <= 5""".stripMargin.replace("\n", " "),
     "q28_lsh_cosine_top3" ->
       s"""WITH hp(p, w) AS (VALUES $q28HyperplaneValues),
          |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -70,6 +70,30 @@ object HashKernels {
     }
   }
 
+  /** Sorted-set difference: drop the (sorted, small) `drop` ids from a
+    * sorted token array — two-pointer merge, O(|tokens| + |drop|). Replaces
+    * `array_except(tokens, lit(hot))`, whose codegen rebuilds a hash set
+    * from the literal array on EVERY row (O(|hot|) per row — with a few
+    * hundred hot ids that was several times the row's own work). */
+  final class SortedDiffKernel(drop: Array[Int]) extends Serializable {
+    def diff(tokens: ArrayData): ArrayData = {
+      val n = tokens.numElements()
+      val out = new Array[Int](n)
+      var k = 0
+      var j = 0
+      var i = 0
+      while (i < n) {
+        val x = tokens.getInt(i)
+        while (j < drop.length && drop(j) < x) j += 1
+        if (j >= drop.length || drop(j) != x) { out(k) = x; k += 1 }
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(
+        if (k == n) out else java.util.Arrays.copyOf(out, k)
+      )
+    }
+  }
+
   final class BandHashKernel(bands: Int, rows: Int) extends Serializable {
     def bandHashes(sig: ArrayData): ArrayData = {
       val out = new Array[Long](bands)
@@ -155,6 +179,29 @@ case class BandHashes(child: Expression, bands: Int, rows: Int) extends ArrayArg
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "band_hashes"
+}
+
+/** array<int> (sorted asc) minus a constant sorted id set. */
+case class ArrayExceptSorted(child: Expression, drop: Array[Int]) extends ArrayArgExpression {
+  override protected def elementType: DataType = IntegerType
+  override protected def name: String = prettyName
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  @transient private lazy val kernel = new HashKernels.SortedDiffKernel(drop)
+
+  override def nullSafeEval(t: Any): Any = kernel.diff(t.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sortedDiffKernel", kernel, classOf[HashKernels.SortedDiffKernel].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.diff($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "array_except_sorted"
+}
+
+object ArrayExceptSorted {
+  def apply(tokens: Column, drop: Array[Int]): Column =
+    GraftBridge.column(ArrayExceptSorted(GraftBridge.expression(tokens), drop))
 }
 
 object MinHashSig {

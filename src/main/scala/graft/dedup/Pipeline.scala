@@ -131,13 +131,19 @@ object Pipeline {
       // every boilerplate-sharing doc pair has Jaccard ~0.2-0.3 and LSH
       // banding floods verification with O(n^2) junk candidates. Verification
       // still runs on the FULL sets, so emitted sims keep reference semantics.
-      // doc count from the encoded stage's _metrics sidecar — one tiny read
-      val nDocs = Checkpoints.stageRowCount(spark, p("encoded"))
+      // Corpus size for the max-df threshold from the DOCS stage sidecar:
+      // its count job overlapped the vocab+encoded builds, so this await is
+      // free (encoded's sidecar would still be in flight). Using the
+      // pre-prune doc count makes the boilerplate cap marginally looser —
+      // recall is unaffected (cap applies to signatures only; parity suite).
+      val nDocs = Checkpoints.stageRowCount(spark, p("docs"))
       val hot = Vocabulary.hotTokenIds(vocab, nDocs, cfg)
       val reps = classMap.filter(col("doc_id") === col("rep_id")).select("doc_id")
       val sigInput = encoded
         .join(reps, "doc_id")
-        .withColumn("sig_tokens", array_except(col("tokens"), lit(hot)))
+        // two-pointer sorted difference, not array_except(.., lit(hot)):
+        // the built-in rebuilds a hash set from the literal on every row
+        .withColumn("sig_tokens", ArrayExceptSorted(col("tokens"), hot))
         .filter(size(col("sig_tokens")) > 0)
         .withColumn("tokens", col("sig_tokens"))
         .drop("sig_tokens")

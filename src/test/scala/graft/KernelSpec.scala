@@ -201,6 +201,22 @@ class KernelSpec extends SparkSpec {
     }
   }
 
+  test("ArrayExceptSorted equals array_except on sorted distinct inputs (property)") {
+    val gen = for {
+      tokens <- Gen.listOf(Gen.choose(0, 500))
+      drop <- Gen.listOf(Gen.choose(0, 500))
+    } yield (tokens.distinct.sorted, drop.distinct.sorted)
+    check(Prop.forAll(gen) { case (tokens, drop) =>
+      val df = Seq(tokens).toDF("tokens")
+      val got = df
+        .select(ArrayExceptSorted(col("tokens"), drop.toArray).as("t"))
+        .as[Seq[Int]]
+        .head()
+      val want = tokens.filterNot(drop.toSet)
+      got == want
+    }, n = 30)
+  }
+
   test("simhash of near-identical sets is within small hamming distance") {
     val tokens = Array.tabulate(200)(i => i * 7)
     val mutated = tokens.updated(5, 99991).updated(50, 99993)
