@@ -1,7 +1,6 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 
 /** Batched MinHash signatures + LSH band hashing.
@@ -62,20 +61,6 @@ object MinHash {
       i += 1
     }
     h
-  }
-
-  def signatureUdf(cfg: Config): UserDefinedFunction = {
-    val (as, bs) = coefficients(cfg.numPerms, cfg.seed)
-    udf((tokens: Seq[Int]) => signatureScala(tokens.toArray, as, bs))
-  }
-
-  def bandHashesUdf(cfg: Config): UserDefinedFunction = {
-    val bands = cfg.bands
-    val rows = cfg.rowsPerBand
-    udf((sig: Seq[Long]) => {
-      val s = sig.toArray
-      Array.tabulate(bands)(b => bandHashScala(s, b, rows))
-    })
   }
 
   /** encoded (doc_id, group, tokens) -> (doc_id, group, minhash: array<long>).

@@ -1,7 +1,6 @@
 package graft.dedup
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 
 /** 64-bit SimHash pass — the second detector of the three-stage design
@@ -44,11 +43,6 @@ object SimHash {
     var b = 0
     while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     out
-  }
-
-  def simhashUdf(cfg: Config): UserDefinedFunction = {
-    val seed = cfg.seed
-    udf((tokens: Seq[Int]) => simhash64(tokens.toArray, seed))
   }
 
   def withSimhash(encoded: DataFrame, cfg: Config): DataFrame =
