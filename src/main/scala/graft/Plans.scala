@@ -45,7 +45,9 @@ object Plans {
       "q07_filter_project (pushdown check: PushedFilters + pruned ReadSchema)" ->
         SparkEntry.queries("q07_filter_project")(spark, sf),
       "vocabulary build (explode + partial hash agg)" -> vocab,
-      "dictionary encode (explode + join + collect_list)" -> encoded,
+      "dictionary encode, broadcast-map plan (narrow projection)" -> encoded,
+      "dictionary encode, shuffle-join plan (explode + join + collect_list)" ->
+        Vocabulary.encodeJoin(docs, vocab),
       "LSH candidate pairs (band explode + bucket pairing)" ->
         MinHash.candidatePairs(sigs, cfg),
       "verify (candidates x encoded x encoded + jaccard kernel)" ->
