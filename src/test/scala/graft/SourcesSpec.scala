@@ -55,6 +55,25 @@ class SourcesSpec extends SparkSpec {
     assert(b == want, s"positional read: $b")
   }
 
+  test("sidecar heal: a committed stage missing its metrics gets them rebuilt on resume") {
+    val work = tmpDir("graft-heal")
+    val rows = (1L to 20L).map(i => (i, s"v$i")).toDF("k", "v")
+    Checkpoints.stage(spark, "heal", s"$work/heal")(rows)
+    Checkpoints.awaitAllSidecars()
+    // simulate a run killed between data commit and sidecar write
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete()
+    }
+    rmr(new java.io.File(s"$work/heal_metrics"))
+    assert(!Checkpoints.exists(spark, s"$work/heal_metrics"))
+    // resume: stage data is reused (build must NOT rerun), sidecar is healed
+    val resumed = Checkpoints.stage(spark, "heal", s"$work/heal")(
+      sys.error("build must not re-run for a committed stage"): org.apache.spark.sql.DataFrame
+    )
+    assert(resumed.count() == 20)
+    assert(Checkpoints.stageRowCount(spark, s"$work/heal") == 20L)
+  }
+
   test("S8/J7: anti-join resume skips keys already in the checkpoint") {
     val work = (1L to 100L).map(i => (i, s"payload$i")).toDF("k", "v")
     val done = (1L to 40L).map(i => Tuple1(i)).toDF("k")
