@@ -115,20 +115,33 @@ object Bench {
     val nFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES", "2500000").toLong
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
 
+    // dev-only iteration knobs (unset in driver runs): restrict the query
+    // list / skip the pipeline-scaling part while tuning a single query
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val skipPipeline = sys.env.get("SPARK_GRAFT_BENCH_SKIP_PIPELINE").contains("1")
+
     // part 1: operator queries at the harness parallelism
     val spark = session(cpus, None)
     val results: Seq[(String, Double, Boolean)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true }
-          catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); false }
-        (name, (System.nanoTime() - t0) / 1e9, ok)
-      }
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).count(); true }
+            catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); false }
+          (name, (System.nanoTime() - t0) / 1e9, ok)
+        }
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val failed = results.filter(!_._3).map(_._1)
+
+    if (skipPipeline) {
+      results.foreach { case (k, v, ok) => println(f"[bench-dev] $k $v%.2f s ${if (ok) "ok" else "FAILED"}") }
+      println(f"[bench-dev] total ${results.map(_._2).sum}%.2f s")
+      return
+    }
 
     // part 2: pipeline scaling, same input, N=2 vs 4N=8 worker threads.
     // 2-vs-8 (not 8-vs-32) because a single box shares one memory bus: past

@@ -77,9 +77,9 @@ object Components {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var prev = checksum(edges)
+    val nEdges = edges.count() // materializes the cache; path decision
 
-    if (prev._1 <= driverLocalMaxEdges) {
+    if (nEdges <= driverLocalMaxEdges) {
       val collected = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
       edges.unpersist()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
@@ -101,9 +101,11 @@ object Components {
       // the whole node->cluster map inside one task (round 1 logged 12 MB
       // tasks); ParallelCollectionRDD serializes only each task's slice.
       val assignments = nodes.map(n => (n, find(n)))
+      // ~20k rows/slice keeps serialized task size well under Spark's
+      // 1000 KiB advisory (50k sliced at ~1.2 MB and warned every bench run)
       val slices = math.max(
         spark0.sparkContext.defaultParallelism,
-        (assignments.length / 50000) + 1
+        (assignments.length / 20000) + 1
       )
       return spark0.sparkContext
         .parallelize(assignments.toIndexedSeq, slices)
@@ -118,15 +120,19 @@ object Components {
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
     val parts = math.max(1, math.min(
       spark.sparkContext.defaultParallelism * 2,
-      (prev._1 / 500000L).toInt + 1
+      (nEdges / 500000L).toInt + 1
     ))
 
+    var prev = checksum(edges) // one pass over the already-cached edge set
     var converged = false
     var iter = 0
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     try {
       while (!converged && iter < MaxIterations) {
-        val next = smallStar(largeStar(edges)).localCheckpoint(eager = true)
+        // LAZY localCheckpoint: the checksum action below materializes the
+        // checkpoint AND folds the convergence aggregate into the same job —
+        // one job per round instead of round-2's materialize + checksum pair
+        val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
         val cur = checksum(next)
         converged = cur == prev
         prev = cur

@@ -75,9 +75,6 @@ object Jaccard {
 
   def hamming(x: Column, y: Column): Column = bit_count(x.bitwiseXOR(y))
 
-  private val interUdf: UserDefinedFunction =
-    udf((a: Seq[Int], b: Seq[Int]) => intersectSorted(a.toArray, b.toArray))
-
   /** Oracle-facing verification: like [[verify]] but emits the raw integer
     * counts and the UNROUNDED quotient, so an ANSI-SQL oracle can reproduce
     * every emitted value bit-for-bit (the 6-dp HALF_EVEN rounding of the
@@ -90,7 +87,8 @@ object Jaccard {
     candidates
       .join(docsA, "a")
       .join(docsB, "b")
-      .withColumn("inter_cnt", interUdf(col("tokens_a"), col("tokens_b")).cast("long"))
+      // codegen'd Catalyst expression, no per-element boxing (JaccardExpression)
+      .withColumn("inter_cnt", IntersectCountSorted(col("tokens_a"), col("tokens_b")).cast("long"))
       .withColumn(
         "union_cnt",
         (size(col("tokens_a")) + size(col("tokens_b"))).cast("long") - col("inter_cnt")

@@ -15,6 +15,15 @@ object JaccardKernel {
   def sim(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
     val nb = b.numElements()
+    val inter = count(a, b)
+    if (inter == 0) 0.0
+    else Jaccard.round6(inter.toDouble / (na + nb - inter).toDouble)
+  }
+
+  /** Two-pointer sorted intersection count on Tungsten arrays. */
+  def count(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
     var i = 0; var j = 0; var inter = 0
     while (i < na && j < nb) {
       val x = a.getInt(i); val y = b.getInt(j)
@@ -22,8 +31,7 @@ object JaccardKernel {
       else if (x < y) i += 1
       else j += 1
     }
-    if (inter == 0) 0.0
-    else Jaccard.round6(inter.toDouble / (na + nb - inter).toDouble)
+    inter
   }
 }
 
@@ -67,4 +75,42 @@ case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpr
 object JaccardSorted {
   def apply(a: Column, b: Column): Column =
     GraftBridge.column(JaccardSorted(GraftBridge.expression(a), GraftBridge.expression(b)))
+}
+
+/** Codegen'd sorted-int-array intersection COUNT — the raw |A n B| the
+  * oracle-facing queries emit next to union_cnt and the unrounded quotient
+  * ([[Jaccard.verifyCounts]]), and the verification kernel of the
+  * prefix-filtered exact pair join (SparkEntry.docPairsBy). Replaces the
+  * round-2 boxed interUdf on the q23/q24/q25 hot path. */
+case class IntersectCountSorted(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(e =>
+      e.dataType match {
+        case ArrayType(IntegerType, _) => true
+        case _                         => false
+      }
+    )
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"intersect_count_sorted expects two array<int> args, got (${left.dataType}, ${right.dataType})"
+    )
+  }
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaccardKernel.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = graft.dedup.JaccardKernel.count($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+
+  override def prettyName: String = "intersect_count_sorted"
+}
+
+object IntersectCountSorted {
+  def apply(a: Column, b: Column): Column =
+    GraftBridge.column(IntersectCountSorted(GraftBridge.expression(a), GraftBridge.expression(b)))
 }
