@@ -83,10 +83,16 @@ object Checkpoints {
           def run(): Unit = writeSidecars(spark, name, path, partitionCols, inputs, wallMs)
         })
       )
-    } else if (!exists(spark, path + "_metrics")) {
-      // heal a run killed between data commit and sidecar write: the stage
-      // itself is complete (atomic _SUCCESS), only the sidecar is missing
-      writeSidecars(spark, name, path, partitionCols, inputs, wallMs = 0L)
+    } else {
+      // drain any still-in-flight async sidecar for this path FIRST: a second
+      // stage() call over the same dir in one JVM would otherwise race the
+      // pending write and could heal-over a half-written _metrics dir
+      awaitSidecar(path)
+      if (!exists(spark, path + "_metrics")) {
+        // heal a run killed between data commit and sidecar write: the stage
+        // itself is complete (atomic _SUCCESS), only the sidecar is missing
+        writeSidecars(spark, name, path, partitionCols, inputs, wallMs = 0L)
+      }
     }
     spark.read.parquet(path)
   }

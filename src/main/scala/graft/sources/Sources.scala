@@ -33,15 +33,50 @@ object Sources {
     expectedCols.nonEmpty && expectedCols.forall(c => tokens.contains(c.toLowerCase))
   }
 
-  /** Read a delimited file as `expectedCols`:
+  /** Read a delimited path as `expectedCols`:
     *  - header present: columns selected BY NAME (any order, extras dropped);
     *  - header absent: the first `expectedCols.length` columns POSITIONALLY.
+    *
+    * Directories and globs are expanded and each file is sniffed
+    * INDEPENDENTLY, matching the reference's per-file decision
+    * (code/main_citation_sample.py:149-165) — `spark.read.text(dir).limit(1)`
+    * has no defined "first file", and one file's header must not strip the
+    * first data row of another (ADVICE_r02). The per-file scan fan-out is the
+    * reference's own semantics; homogeneous big inputs should be read with
+    * `spark.read.csv` directly.
     */
   def readDelimited(
       spark: SparkSession,
       path: String,
       expectedCols: Seq[String],
       sep: String = ","
+  ): DataFrame = {
+    val files = expand(spark, path)
+    if (files.lengthCompare(1) <= 0) readOne(spark, files.headOption.getOrElse(path), expectedCols, sep)
+    else files.map(f => readOne(spark, f, expectedCols, sep)).reduce(_.unionByName(_))
+  }
+
+  /** Expand a file / directory / glob into its data files (sorted, hidden
+    * `_`/`.` files skipped). A plain file returns itself. */
+  private def expand(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    matched
+      .flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile).map(_.getPath)
+        else Seq(st.getPath)
+      }
+      .filterNot(q => q.getName.startsWith("_") || q.getName.startsWith("."))
+      .map(_.toString)
+      .sorted
+  }
+
+  private def readOne(
+      spark: SparkSession,
+      path: String,
+      expectedCols: Seq[String],
+      sep: String
   ): DataFrame = {
     val hasHeader = sniffHeader(spark, path, expectedCols, sep)
     val base = spark.read

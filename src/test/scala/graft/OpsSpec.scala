@@ -77,6 +77,28 @@ class OpsSpec extends SparkSpec {
     assert(blockedPairs == exactPairs)
   }
 
+  test("zero-norm embeddings are skipped consistently by blocked and naive paths") {
+    // a zero vector has no defined cosine: it must appear as a probe with no
+    // neighbors and never as anyone's neighbor — identically on both paths
+    val withZero = embeddings
+      .select("vec_id", "embedding")
+      .limit(20)
+      .unionByName(
+        Seq((9999L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding")
+      )
+    def ranked(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.select("vec_id", "neighbor", "rank").as[(Long, Long, Int)].collect().toSet
+    val naive = ranked(Similarity.cosineTopK(withZero, 3))
+    val blocked = ranked(Similarity.cosineTopKBlocked(withZero, 3, blockSize = 7))
+    assert(blocked == naive)
+    assert(!naive.exists(t => t._1 == 9999L || t._2 == 9999L), "zero vector leaked into top-k")
+    val naivePairs = Similarity.nearDupPairs(withZero, 0.0).select("a", "b").as[(Long, Long)].collect().toSet
+    val blockedPairs2 =
+      Similarity.nearDupPairsBlocked(withZero, 0.0, blockSize = 7).select("a", "b").as[(Long, Long)].collect().toSet
+    assert(blockedPairs2 == naivePairs)
+    assert(!naivePairs.exists(t => t._1 == 9999L || t._2 == 9999L))
+  }
+
   test("multimodal: features have the declared batch shape; frames follow metadata") {
     val media = Multimodal.synthesize(docs)
     val feats = Multimodal.extractFeatures(media, dim = 16)

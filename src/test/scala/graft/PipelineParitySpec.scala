@@ -82,6 +82,26 @@ class PipelineParitySpec extends SparkSpec {
     assert(viaJoin.nonEmpty && viaJoin == viaBroadcast)
   }
 
+  test("CompactDict: exact lookups, absent -> -1, measured footprint at the 5M cap") {
+    // realistic token shapes (repo-local identifiers like the bench corpus)
+    val n = graft.dedup.Vocabulary.BroadcastMaxVocab.toInt
+    val entries = Array.tabulate(n)(i => (s"r${i / 200}v${i % 200}tok$i", i))
+    val dict = graft.dedup.CompactDict.build(entries)
+    assert(dict.size == n)
+    var i = 0
+    while (i < n) { // every entry found with its exact id (sampled stride 97 + edges)
+      assert(dict.get(entries(i)._1) == i)
+      i += 97
+    }
+    assert(dict.get(entries(n - 1)._1) == n - 1)
+    assert(dict.get("absent-token") == -1)
+    assert(dict.get("") == -1)
+    val mb = dict.heapBytes / (1024.0 * 1024.0)
+    info(f"CompactDict heap at $n%d entries: $mb%.1f MB")
+    // the BroadcastMaxVocab doc promises ~200 MB at the cap
+    assert(dict.heapBytes < 300L * 1024 * 1024, f"footprint $mb%.1f MB exceeds the documented budget")
+  }
+
   test("composite group keys: pairs stay within (lang, repo) groups") {
     val files = CorpusGen.corpusLocal(600)
     val input = spark.createDataFrame(files)

@@ -53,6 +53,15 @@ class SourcesSpec extends SparkSpec {
       .toSet
     assert(a == want, s"named-column read: $a")
     assert(b == want, s"positional read: $b")
+
+    // directory with MIXED files: each file is sniffed independently — the
+    // headered file's first line is stripped, the headerless one's is data
+    val both = graft.sources.Sources
+      .readDelimited(spark, dir, Seq("pnr", "title", "year"))
+      .as[(String, String, String)]
+      .collect()
+    assert(both.length == 4, s"expected 2+2 rows from the mixed dir, got ${both.toSeq}")
+    assert(both.toSet == want, s"mixed-dir read: ${both.toSeq}")
   }
 
   test("sidecar heal: a committed stage missing its metrics gets them rebuilt on resume") {
