@@ -236,6 +236,19 @@ object SparkEntry {
       .mkString(", ")
   }
 
+  /** The winnowing hash weights Base^(k-1-j) mod 2^61-1 (j = 0..15) as a
+    * HUGEINT list literal: h(i) = sum_j ord(s[i+j]) * w[j] mod M is exactly
+    * [[graft.dedup.SuffixDedup.fingerprints]]' rolling polynomial hash,
+    * evaluated directly per position (each term < 2^77, the 16-term sum
+    * < 2^81 — inside HUGEINT's int128). */
+  private lazy val winnowPowersSql: String = {
+    val M = (BigInt(1) << 61) - 1
+    val base = BigInt(1000003)
+    (0 until 16)
+      .map(j => base.modPow(BigInt(15 - j), M).toString)
+      .mkString("[", "::HUGEINT, ", "::HUGEINT]")
+  }
+
   /** DuckDB cosine between two DOUBLE[] columns, same evaluation shape as
     * [[Similarity.cosine]] (index-ordered products, left-to-right sums). */
   private def cosineSql(x: String, y: String): String =
@@ -354,22 +367,35 @@ object SparkEntry {
       sym.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= 3)
     }),
     "q30_pair_probe" -> ((s, dir) => {
-      // J4: fixed probe list (doc, doc+7), sim over pruned tokens, 0.0 kept
+      // J4: fixed probe list (doc, doc+7) over the RAW documents table, sim
+      // over pruned tokens. Probes whose record has no surviving tokens are
+      // KEPT with sim NULL + missing=1 — the reference records pairs whose
+      // doc id is absent from the index instead of dropping them
+      // (code/main_citation_pair.py:299-346).
+      val d = t(s, dir, "documents").select("doc_id")
       val pt = prunedTokens(t(s, dir, "documents"))
       val sz = pt.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val probes = d
+        .select(col("doc_id").as("a"))
+        .join(d.select((col("doc_id") - 7).as("a")), Seq("a"), "left_semi")
       val inter = pt
         .select(col("doc_id").as("a"), col("token"))
         .join(pt.select((col("doc_id") - 7).as("a"), col("token")), Seq("a", "token"))
         .groupBy("a")
         .agg(count(lit(1)).as("inter_cnt"))
-      sz.select(col("doc_id").as("a"), col("n").as("na"))
-        .join(sz.select((col("doc_id") - 7).as("a"), col("n").as("nb")), "a")
+      probes
+        .join(sz.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"), "left")
+        .join(sz.select((col("doc_id") - 7).as("a"), col("n").as("nb")), Seq("a"), "left")
         .join(inter, Seq("a"), "left")
         .withColumn("inter_cnt", coalesce(col("inter_cnt"), lit(0L)))
+        .withColumn("missing", (col("na").isNull || col("nb").isNull).cast("int"))
         .select(
           col("a"),
           (col("a") + 7).as("b"),
-          (col("inter_cnt").cast("double") / (col("na") + col("nb") - col("inter_cnt"))).as("sim")
+          when(col("missing") === 1, lit(null).cast("double"))
+            .otherwise(col("inter_cnt").cast("double") / (col("na") + col("nb") - col("inter_cnt")))
+            .as("sim"),
+          col("missing")
         )
     }),
 
@@ -518,17 +544,45 @@ object SparkEntry {
         .withColumnRenamed("group", "lang")
     }),
 
-    // ---- multimodal plumbing (decode stubbed; schema/batching real) ----
+    // ---- multimodal: REAL image decode (javax.imageio), stub audio/video ----
+    // Image rows are synthesized as real PNGs with closed-form pixel
+    // gradients, decoded back by extractFeatures with actual raster reads —
+    // so width/height and the exact per-channel pixel sums are both real
+    // decode output AND SQL-reproducible. n_bytes is nulled for images only
+    // because a PNG's encoded size has no ANSI-SQL form; it stays real (and
+    // checked) for the text-payload modalities.
     "q26_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.synthesize(t(s, dir, "documents"))
       Multimodal
         .extractFeatures(media)
-        .select(col("media_id"), col("modality"), col("n_bytes"), size(col("embedding")).as("dim"))
+        .select(
+          col("media_id"),
+          col("modality"),
+          when(col("modality") === "image", lit(null).cast("long"))
+            .otherwise(col("n_bytes").cast("long")).as("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("sum_r"),
+          col("sum_g"),
+          col("sum_b"),
+          size(col("embedding")).cast("long").as("dim")
+        )
     }),
     "q27_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.synthesize(t(s, dir, "documents")))),
     "q31_substring_pairs" -> ((s, dir) =>
       graft.dedup.SuffixDedup.run(
+        t(s, dir, "documents").select(col("doc_id"), col("lang").as("group"), col("text").as("content")),
+        graft.dedup.SuffixDedup.SubConfig(k = 16, window = 5, minMatch = 20)
+      )),
+    // The winnowing CANDIDATE stage of q31, split out because it IS
+    // oracle-able: fingerprints are a pure function of (text, k, window)
+    // (rolling polynomial hash mod 2^61-1, windowed min, distinct values),
+    // the df cap is a GROUP BY, and with maxFpDf (200) <= maxBucket (1000)
+    // no bucket can hit the chain-linking path — so plain SQL reproduces the
+    // exact pair set. Only the suffix-automaton LCS verify stays sbt-only.
+    "q31a_winnow_candidates" -> ((s, dir) =>
+      graft.dedup.SuffixDedup.candidatePairs(
         t(s, dir, "documents").select(col("doc_id"), col("lang").as("group"), col("text").as("content")),
         graft.dedup.SuffixDedup.SubConfig(k = 16, window = 5, minMatch = 20)
       )),
@@ -607,12 +661,35 @@ object SparkEntry {
          |WHERE rnk <= 3""".stripMargin.replace("\n", " "),
     "q30_pair_probe" ->
       s"""WITH $prunedTokensCte,
+         |pr AS (SELECT d1.doc_id AS a FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 7),
          |it AS (SELECT x.doc_id AS a, count(*) AS inter_cnt
          |  FROM pt x JOIN pt y ON x.token = y.token AND y.doc_id = x.doc_id + 7 GROUP BY 1)
-         |SELECT sa.doc_id AS a, sa.doc_id + 7 AS b,
-         |  CAST(coalesce(it.inter_cnt, 0) AS DOUBLE) / (sa.n + sb.n - coalesce(it.inter_cnt, 0)) AS sim
-         |FROM sz sa JOIN sz sb ON sb.doc_id = sa.doc_id + 7
-         |LEFT JOIN it ON it.a = sa.doc_id""".stripMargin.replace("\n", " "),
+         |SELECT pr.a, pr.a + 7 AS b,
+         |  CASE WHEN sa.n IS NULL OR sb.n IS NULL THEN NULL
+         |   ELSE CAST(coalesce(it.inter_cnt, 0) AS DOUBLE) / (sa.n + sb.n - coalesce(it.inter_cnt, 0)) END AS sim,
+         |  CAST((sa.n IS NULL OR sb.n IS NULL) AS INT) AS missing
+         |FROM pr LEFT JOIN sz sa ON sa.doc_id = pr.a
+         |LEFT JOIN sz sb ON sb.doc_id = pr.a + 7
+         |LEFT JOIN it ON it.a = pr.a""".stripMargin.replace("\n", " "),
+    "q31a_winnow_candidates" ->
+      s"""WITH hh AS (SELECT doc_id, lang,
+         |  list_transform(generate_series(1, length(text) - 15), i ->
+         |    CAST(list_sum(list_transform(generate_series(0, 15), j ->
+         |      CAST(unicode(substr(text, i + j, 1)) AS HUGEINT) * ($winnowPowersSql)[j + 1]))
+         |     % 2305843009213693951 AS BIGINT)) AS hs
+         |  FROM documents WHERE length(text) >= 16),
+         |wnd AS (
+         |  SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(hs) - 4),
+         |    s2 -> list_min(list_slice(hs, s2, s2 + 4)))) AS fp
+         |  FROM hh WHERE len(hs) > 5
+         |  UNION ALL
+         |  SELECT doc_id, lang, list_min(hs) AS fp FROM hh WHERE len(hs) <= 5),
+         |fps AS (SELECT DISTINCT doc_id, lang, fp FROM wnd),
+         |hot AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) > 200),
+         |kept AS (SELECT * FROM fps WHERE fp NOT IN (SELECT fp FROM hot))
+         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |FROM kept x JOIN kept y ON x.lang = y.lang AND x.fp = y.fp AND x.doc_id < y.doc_id""".stripMargin
+        .replace("\n", " "),
     "q15_dedup_exact" ->
       """SELECT d.doc_id, m.canon FROM documents d JOIN
         | (SELECT text, min(doc_id) AS canon FROM documents GROUP BY text) m
@@ -765,6 +842,20 @@ object SparkEntry {
          |nd AS (SELECT lang, source, count(DISTINCT doc) AS n_docs FROM sym GROUP BY 1, 2)
          |SELECT st.lang, st.source, st.n_pairs, nd.n_docs, st.min_sim, st.max_sim
          |FROM st JOIN nd ON st.lang = nd.lang AND st.source = nd.source""".stripMargin.replace("\n", " "),
+    "q26_multimodal_features" ->
+      """WITH m AS (SELECT doc_id, doc_id % 3 AS md, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h,
+        | (doc_id * 7) % 256 AS r0, (doc_id * 11) % 256 AS g0, (doc_id * 13) % 256 AS b0, text
+        | FROM documents)
+        |SELECT doc_id AS media_id,
+        | CASE WHEN md = 0 THEN 'image' WHEN md = 1 THEN 'audio' ELSE 'video' END AS modality,
+        | CASE WHEN md = 0 THEN NULL ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS n_bytes,
+        | CASE WHEN md = 0 THEN w END AS width,
+        | CASE WHEN md = 0 THEN h END AS height,
+        | CASE WHEN md = 0 THEN h * list_sum(list_transform(generate_series(0, w - 1), x -> (r0 + x) % 256)) END AS sum_r,
+        | CASE WHEN md = 0 THEN h * list_sum(list_transform(generate_series(0, w - 1), x -> (g0 + x) % 256)) END AS sum_g,
+        | CASE WHEN md = 0 THEN h * list_sum(list_transform(generate_series(0, w - 1), x -> (b0 + x) % 256)) END AS sum_b,
+        | CAST(64 AS BIGINT) AS dim
+        |FROM m""".stripMargin.replace("\n", " "),
     "q33_embedding_neardup" ->
       """SELECT a, b FROM (SELECT x.vec_id AS a, y.vec_id AS b,
         |  list_sum(list_transform(generate_series(1, len(x.embedding)),

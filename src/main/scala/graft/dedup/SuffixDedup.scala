@@ -198,9 +198,12 @@ object SuffixDedup {
     best
   }
 
-  /** docs: (doc_id, group, content). Returns (group, a, b, lcs_len,
-    * containment) for pairs sharing a verified substring >= minMatch chars. */
-  def run(docs: DataFrame, cfg: SubConfig = SubConfig()): DataFrame = {
+  /** Candidate stage alone: winnowed fingerprints -> df cap -> bucketed
+    * pairs (a, b). Deterministic function of (content, k, window, maxFpDf) —
+    * oracle-able in ANSI SQL whenever no (group, fp) bucket exceeds
+    * `maxBucket` (guaranteed when maxFpDf <= maxBucket, since a bucket's size
+    * is bounded by the fingerprint's document frequency). */
+  def candidatePairs(docs: DataFrame, cfg: SubConfig = SubConfig()): DataFrame = {
     val k = cfg.k; val w = cfg.window
     val fpUdf = udf((content: String) => fingerprints(content, k, w))
     val fps = docs
@@ -210,9 +213,13 @@ object SuffixDedup {
     val common = fps.groupBy("fp").agg(count(lit(1)).as("df")).filter(col("df") > cfg.maxFpDf)
     val kept = fps.join(common.select("fp"), Seq("fp"), "left_anti")
 
-    val candidates = PairGen
-      .pairsFromBuckets(kept, Seq("group", "fp"), cfg.maxBucket)
+    PairGen.pairsFromBuckets(kept, Seq("group", "fp"), cfg.maxBucket)
+  }
 
+  /** docs: (doc_id, group, content). Returns (group, a, b, lcs_len,
+    * containment) for pairs sharing a verified substring >= minMatch chars. */
+  def run(docs: DataFrame, cfg: SubConfig = SubConfig()): DataFrame = {
+    val candidates = candidatePairs(docs, cfg)
     val minMatch = cfg.minMatch
     val lcsUdf = udf((x: String, y: String) =>
       if (x.length <= y.length) lcsLen(x, y) else lcsLen(y, x)

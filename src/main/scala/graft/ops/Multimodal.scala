@@ -1,5 +1,7 @@
 package graft.ops
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -8,12 +10,12 @@ import org.apache.spark.sql.types._
   * payloads ride as opaque `binary` columns with typed metadata; decode /
   * feature-extract / frame-sample run as batched per-partition transforms.
   *
-  * The container ships no media codecs, so THE DECODE STEP IS A STUB — a
-  * deterministic fake (content-hash-seeded feature vector) clearly marked
-  * below. Everything around it is real and tested: the schema, the
-  * mapPartitions batch shape (the Scala analog of a pandas-batch UDF), the
-  * partition-size control, and the downstream similarity join via
-  * [[Similarity]].
+  * The IMAGE modality is decoded for REAL: the JDK's `javax.imageio` reads
+  * PNG/JPEG/BMP with zero external jars, so image rows carry actual pixel
+  * statistics (width/height, per-channel sums, an 8x8 block-mean feature
+  * vector). The container ships no audio/video codecs, so THOSE decodes are
+  * an honestly-labeled deterministic stub ([[decodeStub]]); the schema,
+  * mapPartitions batch shape and partitioning are real for all modalities.
   */
 object Multimodal {
 
@@ -29,9 +31,9 @@ object Multimodal {
     )), nullable = true)
   ))
 
-  /** STUB — deterministic fake decode. A real deployment replaces this body
-    * with the actual codec call (e.g. JNI/ffmpeg or a pandas-batch UDF on a
-    * PySpark edge); signature and batch shape stay identical. */
+  /** STUB — deterministic fake decode for the modalities whose codecs the
+    * runtime image lacks (audio/video). A real deployment replaces this body
+    * with the codec call; signature and batch shape stay identical. */
   private def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
     var h = 0x9e3779b97f4a7c15L
     if (bytes != null) {
@@ -45,32 +47,93 @@ object Multimodal {
     }
   }
 
-  private def featureSchema(dim: Int): StructType = StructType(Seq(
+  /** Real image decode: width/height, exact per-channel pixel sums, and an
+    * 8x8 block-mean grayscale feature vector (64 floats in [0,1]) — all read
+    * from the decoded raster, not from metadata. Returns null on undecodable
+    * bytes (callers keep the row with null pixel fields). */
+  private[ops] def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long, Array[Float])] = {
+    if (bytes == null) return None
+    val img =
+      try javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val gray = new Array[Double](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        sr += r; sg += g; sb += b
+        gray(y * w + x) = (r + g + b) / 3.0
+        x += 1
+      }
+      y += 1
+    }
+    val grid = 8
+    val feat = new Array[Float](grid * grid)
+    var by = 0
+    while (by < grid) {
+      var bx = 0
+      while (bx < grid) {
+        val x0 = bx * w / grid; val x1 = math.max(x0 + 1, (bx + 1) * w / grid)
+        val y0 = by * h / grid; val y1 = math.max(y0 + 1, (by + 1) * h / grid)
+        var s = 0.0; var n = 0
+        var yy = y0
+        while (yy < y1 && yy < h) {
+          var xx = x0
+          while (xx < x1 && xx < w) { s += gray(yy * w + xx); n += 1; xx += 1 }
+          yy += 1
+        }
+        feat(by * grid + bx) = if (n == 0) 0.0f else (s / n / 255.0).toFloat
+        bx += 1
+      }
+      by += 1
+    }
+    Some((w, h, sr, sg, sb, feat))
+  }
+
+  private def featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("modality", StringType, nullable = false),
     StructField("n_bytes", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("sum_r", LongType, nullable = true),
+    StructField("sum_g", LongType, nullable = true),
+    StructField("sum_b", LongType, nullable = true),
     StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false)
   ))
 
   /** Batched feature extraction: one partition = one decode batch (the Spark
     * executor keeps codec state warm across the iterator, exactly like a
-    * pandas-batch UDF holds a model per batch). */
+    * pandas-batch UDF holds a model per batch). Image rows are decoded with
+    * javax.imageio (real pixels); audio/video embeddings come from the
+    * labeled stub and have null pixel fields. */
   def extractFeatures(media: DataFrame, dim: Int = 64): DataFrame = {
     val bytesIdx = media.schema.fieldIndex("bytes")
     val idIdx = media.schema.fieldIndex("media_id")
     val modIdx = media.schema.fieldIndex("modality")
     media.mapPartitions { it =>
-      // per-partition setup would open the codec once here
+      // per-partition setup would open the non-image codecs once here
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](bytesIdx)
-        Row(
-          r.getLong(idIdx),
-          r.getString(modIdx),
-          if (bytes == null) 0 else bytes.length,
-          decodeStub(bytes, dim)
-        )
+        val modality = r.getString(modIdx)
+        val nBytes = if (bytes == null) 0 else bytes.length
+        val decoded = if (modality == "image") decodeImage(bytes) else None
+        decoded match {
+          case Some((w, h, sr, sg, sb, feat)) =>
+            Row(r.getLong(idIdx), modality, nBytes, w, h, sr, sg, sb, feat)
+          case None =>
+            Row(r.getLong(idIdx), modality, nBytes, null, null, null, null, null, decodeStub(bytes, dim))
+        }
       }
-    }(Encoders.row(featureSchema(dim)))
+    }(Encoders.row(featureSchema))
   }
 
   /** Frame sampling stub for video rows: emits `fps`-spaced frame indices
@@ -86,19 +149,52 @@ object Multimodal {
         ).as("frame_idx")
       )
 
-  /** Test/bench helper: wrap any (doc_id, text) table as fake media rows. */
-  def synthesize(documents: DataFrame): DataFrame =
+  /** Deterministic real PNG for id: a (16 + id%17) x (16 + id%13) image whose
+    * channels are x-gradients ((c0 + x) mod 256 with c0 = id*{7,11,13} mod
+    * 256) — per-pixel varying, so a feature extractor must actually decode,
+    * yet every pixel statistic is closed-form for the SQL oracle. */
+  def synthPng(id: Long): Array[Byte] = {
+    val w = 16 + math.floorMod(id, 17L).toInt
+    val h = 16 + math.floorMod(id, 13L).toInt
+    val r0 = math.floorMod(id * 7, 256L).toInt
+    val g0 = math.floorMod(id * 11, 256L).toInt
+    val b0 = math.floorMod(id * 13, 256L).toInt
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = (((r0 + x) % 256) << 16) | (((g0 + x) % 256) << 8) | ((b0 + x) % 256)
+        img.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Test/bench helper: wrap any (doc_id, text) table as media rows — image
+    * rows carry REAL PNG bytes ([[synthPng]]), audio/video carry the UTF-8
+    * text as their (stub-decoded) payload. */
+  def synthesize(documents: DataFrame): DataFrame = {
+    val pngUdf = udf((id: Long) => synthPng(id))
     documents.select(
       col("doc_id").as("media_id"),
       when(col("doc_id") % 3 === 0, lit("image"))
         .when(col("doc_id") % 3 === 1, lit("audio"))
         .otherwise(lit("video")).as("modality"),
-      encode(col("text"), "UTF-8").as("bytes"),
+      when(col("doc_id") % 3 === 0, pngUdf(col("doc_id")))
+        .otherwise(encode(col("text"), "UTF-8")).as("bytes"),
       struct(
-        lit(640).as("width"),
-        lit(480).as("height"),
+        when(col("doc_id") % 3 === 0, (lit(16) + col("doc_id") % 17).cast("int"))
+          .otherwise(lit(640)).as("width"),
+        when(col("doc_id") % 3 === 0, (lit(16) + col("doc_id") % 13).cast("int"))
+          .otherwise(lit(480)).as("height"),
         (col("n_chars") * 10).cast("long").as("duration_ms"),
-        lit("fake").as("codec")
+        when(col("doc_id") % 3 === 0, lit("png")).otherwise(lit("fake")).as("codec")
       ).as("meta")
     )
+  }
 }

@@ -99,12 +99,33 @@ class OpsSpec extends SparkSpec {
     assert(!naivePairs.exists(t => t._1 == 9999L || t._2 == 9999L))
   }
 
+  test("multimodal: image rows decode real PNG pixels matching the closed-form gradients") {
+    val media = Multimodal.synthesize(docs)
+    val img = Multimodal
+      .extractFeatures(media)
+      .filter(col("modality") === "image")
+      .select("media_id", "width", "height", "sum_r", "sum_g", "sum_b")
+      .collect()
+    assert(img.nonEmpty, "no image rows synthesized")
+    img.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = (16 + (id % 17).toInt, 16 + (id % 13).toInt)
+      assert(r.getInt(1) == w && r.getInt(2) == h, s"decoded dims for $id")
+      def gradSum(c0: Long): Long = h.toLong * (0 until w).map(x => (c0 + x) % 256).sum
+      assert(r.getLong(3) == gradSum(id * 7 % 256), s"sum_r for $id")
+      assert(r.getLong(4) == gradSum(id * 11 % 256), s"sum_g for $id")
+      assert(r.getLong(5) == gradSum(id * 13 % 256), s"sum_b for $id")
+    }
+  }
+
   test("multimodal: features have the declared batch shape; frames follow metadata") {
     val media = Multimodal.synthesize(docs)
     val feats = Multimodal.extractFeatures(media, dim = 16)
-    assert(feats.schema.fieldNames.toSeq == Seq("media_id", "modality", "n_bytes", "embedding"))
-    val sample = feats.limit(5).collect()
+    assert(feats.schema.fieldNames.toSeq ==
+      Seq("media_id", "modality", "n_bytes", "width", "height", "sum_r", "sum_g", "sum_b", "embedding"))
+    val sample = feats.filter(col("modality") =!= "image").limit(5).collect()
     assert(sample.forall(_.getAs[Seq[Float]]("embedding").length == 16))
+    assert(sample.forall(_.isNullAt(3)), "non-image rows must have null pixel fields")
     // determinism: same bytes -> same embedding
     val twice = Multimodal.extractFeatures(media, dim = 16)
     val a = feats.orderBy("media_id").limit(3).collect().map(_.toSeq)
