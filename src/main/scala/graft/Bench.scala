@@ -42,11 +42,16 @@ object Bench {
   }
 
   private def session(cpus: Int, localDir: Option[String]): SparkSession = {
+    // shuffle partitions default to a multiple of cores so sort/agg tasks at
+    // low parallelism stay small (one giant per-core sort spills super-
+    // linearly and flatters the high-core leg); multiplier tunable for
+    // ScaleProbe experiments
+    val mult = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_MULT", "1").toInt
     val b = SparkSession
       .builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.shuffle.partitions", (cpus * mult).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

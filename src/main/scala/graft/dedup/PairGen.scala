@@ -1,7 +1,8 @@
 package graft.dedup
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Bucket -> candidate-pair generation, shared by the LSH band pass and the
@@ -9,20 +10,27 @@ import org.apache.spark.sql.functions._
   *
   * Skew design (SURVEY.md §4): boilerplate shingles put thousands of docs in
   * one bucket; a naive self-join on the bucket key makes one O(B^2) straggler
-  * task and `collect_list` over the bucket OOMs. Two paths instead:
+  * task and a per-bucket `collect_list` OOMs. Two semantics, one pass:
   *
-  *  - B <= maxBucket: full pair expansion, but via collect_list + DOUBLE
-  *    explode (posexplode of the id array, then explode of the per-row tail
-  *    slice), so no row ever holds more than B ids (~8 KB at the default cap)
-  *    and the B^2/2 pairs stream out of the generator incrementally.
+  *  - B <= maxBucket: full B^2/2 pair expansion;
+  *  - B > maxBucket: chain-linking — each doc pairs with its `chainWidth`
+  *    sorted forward neighbors only. This bounds output at B*w while
+  *    preserving CONNECTIVITY of the bucket (a chain spans it), which is what
+  *    clustering needs; pairwise completeness for near-dup pairs is carried
+  *    by the other bands (each pair gets `bands` independent chances to land
+  *    in a small bucket). Dropped-pair exposure is observable via
+  *    [[oversizedBuckets]].
   *
-  *  - B > maxBucket: chain-linking — sort the bucket by doc_id and emit only
-  *    the `chainWidth` forward neighbors of each doc (lead_1..lead_w). This
-  *    bounds output at B*w while preserving CONNECTIVITY of the bucket (a
-  *    chain spans it), which is what clustering needs; pairwise completeness
-  *    for near-dup pairs is carried by the other bands (each pair gets
-  *    `bands` independent chances to land in a small bucket). Dropped-pair
-  *    exposure is observable: callers can log `oversizedBuckets`.
+  * Physical shape (round-3 rewrite): ONE hash exchange on the bucket key +
+  * ONE in-partition sort by (key, doc_id) + a STREAMING mapPartitions pair
+  * generator. The round-2 plan (window count + collect_list + double explode
+  * + a second window for the chain path) paid two window sorts over the full
+  * band-row table — the worst-scaling stage of the official bench. The
+  * generator buffers at most maxBucket+1 ids per bucket (it switches to chain
+  * emission the moment a bucket exceeds the cap), so task memory stays
+  * bounded no matter how hot a bucket gets — strictly better than any
+  * collect_list shape. Emitted pair sets are bitwise-identical to round 2's
+  * (asserted by the PairGen spec and the q23/q24/q28/q31a oracles).
   *
   * Exact duplicates should be collapsed to one representative per content
   * hash BEFORE this runs (see [[Pipeline]]) — otherwise a 100k-copy file
@@ -35,27 +43,105 @@ object PairGen {
   /** rows: bucket key columns + `doc_id`. Returns distinct (a, b), a < b. */
   def pairsFromBuckets(rows: DataFrame, bucketCols: Seq[String], maxBucket: Int): DataFrame = {
     val keys = bucketCols.map(col)
-    val w = Window.partitionBy(keys: _*)
-    val sized = rows.withColumn("bucket_n", count(lit(1)).over(w))
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val prepared = rows
+      .select(keys :+ col("doc_id").cast("long").as("doc_id"): _*)
+      .repartition(keys: _*)
+      .sortWithinPartitions(keys :+ col("doc_id"): _*)
+    val nKeys = bucketCols.length
+    val docIdx = nKeys // doc_id is the last projected column
+    val cap = maxBucket
+    prepared
+      .mapPartitions { it =>
+        new Iterator[(Long, Long)] {
+          private val buf = new ArrayBuffer[Long]()
+          private val curKey = new Array[Any](nKeys)
+          private var haveKey = false
+          private var chain = false
+          private var pending: Iterator[(Long, Long)] = Iterator.empty
 
-    // Small buckets: full B^2/2 expansion through two streaming explodes.
-    val small = sized
-      .filter(col("bucket_n") > 1 && col("bucket_n") <= maxBucket)
-      .groupBy(keys: _*)
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .select(posexplode(col("ids")).as(Seq("i", "a")), col("ids"))
-      .select(col("a"), explode(slice(col("ids"), col("i") + lit(2), greatest(size(col("ids")) - col("i") - 1, lit(0)))).as("b"))
+          private def sameKey(r: org.apache.spark.sql.Row): Boolean = {
+            var i = 0
+            while (i < nKeys) {
+              if (r.get(i) != curKey(i)) return false
+              i += 1
+            }
+            true
+          }
 
-    // Oversized buckets: sorted chain, w forward neighbors each.
-    val wOrd = Window.partitionBy(keys: _*).orderBy(col("doc_id"))
-    val leads = (1 to ChainWidth).map(i => lead(col("doc_id"), i).over(wOrd))
-    val large = sized
-      .filter(col("bucket_n") > maxBucket)
-      .select(col("doc_id").as("a"), array(leads: _*).as("nexts")) // window exprs first,
-      .select(col("a"), explode(col("nexts")).as("b"))             // generator second
-      .filter(col("b").isNotNull)
+          /** Full B^2/2 pairs of a completed small bucket (ids ascending). */
+          private def fullPairs(ids: Array[Long]): Iterator[(Long, Long)] =
+            if (ids.length < 2) Iterator.empty
+            else
+              (0 until ids.length - 1).iterator.flatMap { i =>
+                (i + 1 until ids.length).iterator.map(j => (ids(i), ids(j)))
+              }
 
-    small.unionByName(large).distinct()
+          /** Chain pairs among `ids` (each id with its <=ChainWidth forward
+            * neighbors) — used for the buffered prefix when a bucket crosses
+            * the cap. */
+          private def chainPairs(ids: Array[Long]): Iterator[(Long, Long)] =
+            (1 until ids.length).iterator.flatMap { i =>
+              (math.max(0, i - ChainWidth) until i).iterator.map(j => (ids(j), ids(i)))
+            }
+
+          /** Close the current bucket: small buckets emit their full pairs
+            * now; chain-mode buckets already streamed everything. */
+          private def flushBucket(): Iterator[(Long, Long)] =
+            if (!chain && buf.length > 1) fullPairs(buf.toArray) else Iterator.empty
+
+          private def advance(): Unit = {
+            while (!pending.hasNext && it.hasNext) {
+              val r = it.next()
+              val id = r.getLong(docIdx)
+              if (!haveKey || !sameKey(r)) {
+                pending = flushBucket()
+                var i = 0
+                while (i < nKeys) { curKey(i) = r.get(i); i += 1 }
+                haveKey = true
+                chain = false
+                buf.clear()
+                buf += id
+              } else if (chain) {
+                // stream (each of the last <=ChainWidth ids, id); keep window
+                val from = math.max(0, buf.length - ChainWidth)
+                pending = buf.slice(from, buf.length).toArray.iterator.map(p => (p, id))
+                buf += id
+                if (buf.length > ChainWidth) buf.remove(0, buf.length - ChainWidth)
+              } else {
+                buf += id
+                if (buf.length > cap) {
+                  // bucket just crossed the cap: the WHOLE bucket is chain-
+                  // linked — emit chain pairs for the buffered prefix, then
+                  // stream; drop all but the trailing window
+                  chain = true
+                  val ids = buf.toArray
+                  pending = chainPairs(ids)
+                  buf.clear()
+                  buf ++= ids.takeRight(ChainWidth)
+                }
+              }
+            }
+            if (!pending.hasNext && !it.hasNext && haveKey) {
+              pending = flushBucket()
+              haveKey = false
+              buf.clear()
+            }
+          }
+
+          def hasNext: Boolean = {
+            if (!pending.hasNext) advance()
+            pending.hasNext
+          }
+          def next(): (Long, Long) = {
+            if (!hasNext) throw new NoSuchElementException
+            pending.next()
+          }
+        }
+      }
+      .toDF("a", "b")
+      .distinct()
   }
 
   /** Count of buckets above the cap (metrics / observability). */

@@ -54,14 +54,15 @@ object Vocabulary {
   /** Vocabularies up to this many entries encode via a broadcast
     * [[CompactDict]]; beyond it the shuffle join takes over. Sizing is real
     * arithmetic, not hope: the compact layout costs 2 B/char + 8 B/entry
-    * fixed + ~6.7 B/entry probe table (load 0.6) — measured 201 MB for 5M
-    * synthetic-corpus tokens (avg 11.6 chars), vs multiple GB for the same
-    * entries in round-2's java.util.HashMap[String, Integer] (~90 B object
-    * overhead per entry before the char data, the sizing bug ADVICE_r02
-    * flagged). At 10^12 files the min-df/max-df pruned vocabulary of token
-    * SHINGLES can exceed this, which is exactly when a shuffle join is the
-    * right plan anyway. */
-  val BroadcastMaxVocab: Long = 5000000L
+    * fixed + ~6.7 B/entry probe table (load 0.6) — measured 399 MB at the 8M
+    * cap with avg-14-char tokens (CompactDict.heapBytes, pinned by the test
+    * suite), vs multiple GB for the same entries in round-2's
+    * java.util.HashMap[String, Integer] (~90 B of object overhead per entry
+    * before any char data — the sizing bug ADVICE_r02 flagged). One copy per
+    * executor via broadcast. At 10^12 files the min-df/max-df pruned
+    * vocabulary of token SHINGLES can exceed this, which is exactly when a
+    * shuffle join is the right plan anyway. */
+  val BroadcastMaxVocab: Long = 8000000L
 
   /** Dictionary-encode docs to sorted int arrays: (doc_id, group,
     * tokens: array<int>, n_tokens) — the reference's per-doc dictionary

@@ -82,7 +82,7 @@ class PipelineParitySpec extends SparkSpec {
     assert(viaJoin.nonEmpty && viaJoin == viaBroadcast)
   }
 
-  test("CompactDict: exact lookups, absent -> -1, measured footprint at the 5M cap") {
+  test("CompactDict: exact lookups, absent -> -1, measured footprint at the cap") {
     // realistic token shapes (repo-local identifiers like the bench corpus)
     val n = graft.dedup.Vocabulary.BroadcastMaxVocab.toInt
     val entries = Array.tabulate(n)(i => (s"r${i / 200}v${i % 200}tok$i", i))
@@ -98,8 +98,8 @@ class PipelineParitySpec extends SparkSpec {
     assert(dict.get("") == -1)
     val mb = dict.heapBytes / (1024.0 * 1024.0)
     info(f"CompactDict heap at $n%d entries: $mb%.1f MB")
-    // the BroadcastMaxVocab doc promises ~200 MB at the cap
-    assert(dict.heapBytes < 300L * 1024 * 1024, f"footprint $mb%.1f MB exceeds the documented budget")
+    // the BroadcastMaxVocab doc promises <= ~400 MB at the cap
+    assert(dict.heapBytes < 420L * 1024 * 1024, f"footprint $mb%.1f MB exceeds the documented budget")
   }
 
   test("composite group keys: pairs stay within (lang, repo) groups") {
