@@ -581,6 +581,10 @@ object SparkEntry {
     // the df cap is a GROUP BY, and with maxFpDf (200) <= maxBucket (1000)
     // no bucket can hit the chain-linking path — so plain SQL reproduces the
     // exact pair set. Only the suffix-automaton LCS verify stays sbt-only.
+    // CAVEAT: the engine hashes UTF-16 code units (String.charAt — a
+    // well-defined deterministic contract) while DuckDB's substr/unicode
+    // walk code points; the two agree exactly on BMP text (all of the
+    // driver's corpora) and diverge on supplementary-plane characters.
     "q31a_winnow_candidates" -> ((s, dir) =>
       graft.dedup.SuffixDedup.candidatePairs(
         t(s, dir, "documents").select(col("doc_id"), col("lang").as("group"), col("text").as("content")),

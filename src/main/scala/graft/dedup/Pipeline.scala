@@ -45,13 +45,20 @@ object Pipeline {
     val groupExpr =
       if (cfg.groupCols.size == 1) col(cfg.groupCols.head).cast("string")
       else
-        // coalesce each column to a sentinel BEFORE concat_ws: concat_ws
-        // silently skips NULLs, which would fold ("a", NULL) and (NULL, "a")
-        // into one group and let pairs cross groups (ADVICE_r02); the
-        // single-column path keeps its natural NULL group
+        // concat_ws silently skips NULLs, which would fold ("a", NULL) and
+        // (NULL, "a") into one group and let pairs cross groups (ADVICE_r02).
+        // Collision-free encoding: NUL bytes in real values are doubled and
+        // NULL maps to a single NUL — no real value can ever equal the
+        // sentinel, so distinct key tuples always yield distinct group keys.
+        // The single-column path keeps its natural NULL group.
         concat_ws(
           "\u0001",
-          cfg.groupCols.map(c => coalesce(col(c).cast("string"), lit("\u0000null"))): _*
+          cfg.groupCols.map(c =>
+            coalesce(
+              regexp_replace(col(c).cast("string"), "\u0000", "\u0000\u0000"),
+              lit("\u0000")
+            )
+          ): _*
         )
     withId
       .withColumn("group", groupExpr)

@@ -147,8 +147,10 @@ final class CompactDict private (
   def heapBytes: Long =
     chars.length * 2L + (offs.length.toLong + ids.length + table.length) * 4L
 
-  /** Token id, or -1 when absent. */
+  /** Token id, or -1 when absent (null tokens are absent, like a
+    * HashMap.get(null) miss — a null array element must not fail encode). */
   def get(s: String): Int = {
+    if (s == null) return -1
     var i = CompactDict.spread(s.hashCode) & mask
     var e = table(i)
     while (e != -1) {

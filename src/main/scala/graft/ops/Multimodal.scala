@@ -47,11 +47,13 @@ object Multimodal {
     }
   }
 
-  /** Real image decode: width/height, exact per-channel pixel sums, and an
-    * 8x8 block-mean grayscale feature vector (64 floats in [0,1]) — all read
-    * from the decoded raster, not from metadata. Returns null on undecodable
-    * bytes (callers keep the row with null pixel fields). */
-  private[ops] def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long, Array[Float])] = {
+  /** Real image decode: width/height, exact per-channel pixel sums, and a
+    * block-mean grayscale feature vector of EXACTLY `dim` floats in [0,1]
+    * (grid ceil(sqrt(dim)) x ceil(dim/gridW), first `dim` blocks — an 8x8
+    * grid at the default dim=64) — all read from the decoded raster, not
+    * from metadata. Returns None on undecodable bytes (callers keep the row
+    * with null pixel fields). */
+  private[ops] def decodeImage(bytes: Array[Byte], dim: Int): Option[(Int, Int, Long, Long, Long, Array[Float])] = {
     if (bytes == null) return None
     val img =
       try javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
@@ -75,25 +77,24 @@ object Multimodal {
       }
       y += 1
     }
-    val grid = 8
-    val feat = new Array[Float](grid * grid)
-    var by = 0
-    while (by < grid) {
-      var bx = 0
-      while (bx < grid) {
-        val x0 = bx * w / grid; val x1 = math.max(x0 + 1, (bx + 1) * w / grid)
-        val y0 = by * h / grid; val y1 = math.max(y0 + 1, (by + 1) * h / grid)
-        var s = 0.0; var n = 0
-        var yy = y0
-        while (yy < y1 && yy < h) {
-          var xx = x0
-          while (xx < x1 && xx < w) { s += gray(yy * w + xx); n += 1; xx += 1 }
-          yy += 1
-        }
-        feat(by * grid + bx) = if (n == 0) 0.0f else (s / n / 255.0).toFloat
-        bx += 1
+    val gridW = math.max(1, math.ceil(math.sqrt(dim.toDouble)).toInt)
+    val gridH = math.max(1, (dim + gridW - 1) / gridW)
+    val feat = new Array[Float](dim)
+    var cell = 0
+    while (cell < dim) {
+      val bx = cell % gridW
+      val by = cell / gridW
+      val x0 = bx * w / gridW; val x1 = math.max(x0 + 1, (bx + 1) * w / gridW)
+      val y0 = by * h / gridH; val y1 = math.max(y0 + 1, (by + 1) * h / gridH)
+      var s = 0.0; var n = 0
+      var yy = y0
+      while (yy < y1 && yy < h) {
+        var xx = x0
+        while (xx < x1 && xx < w) { s += gray(yy * w + xx); n += 1; xx += 1 }
+        yy += 1
       }
-      by += 1
+      feat(cell) = if (n == 0) 0.0f else (s / n / 255.0).toFloat
+      cell += 1
     }
     Some((w, h, sr, sg, sb, feat))
   }
@@ -125,7 +126,7 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](bytesIdx)
         val modality = r.getString(modIdx)
         val nBytes = if (bytes == null) 0 else bytes.length
-        val decoded = if (modality == "image") decodeImage(bytes) else None
+        val decoded = if (modality == "image") decodeImage(bytes, dim) else None
         decoded match {
           case Some((w, h, sr, sg, sb, feat)) =>
             Row(r.getLong(idIdx), modality, nBytes, w, h, sr, sg, sb, feat)
