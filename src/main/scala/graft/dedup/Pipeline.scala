@@ -34,7 +34,8 @@ object Pipeline {
       candidates: DataFrame,
       pairs: DataFrame,
       components: DataFrame,
-      substring: Option[DataFrame] = None
+      substring: Option[DataFrame] = None,
+      topn: Option[DataFrame] = None
   )
 
   /** Stage 1 logic (no checkpoint): tokenize + ids + lineage. Key dedup is
@@ -193,10 +194,19 @@ object Pipeline {
           )
         ))
 
+    // Optional top-N report (reference main_citation_control.py:626-642 /
+    // main_closest.py:29-47): per-probe ranked matches over the verified
+    // pair table, as its own resumable stage.
+    val topn = cfg.topN.map { n =>
+      Checkpoints.stage(spark, "topn", p("topn"), Nil, Seq(p("pairs")))(
+        TopN.perProbe(pairs, n)
+      )
+    }
+
     // join the off-critical-path sidecar writes: callers of run() may read
     // any stage's _metrics / _lineage.json immediately
     Checkpoints.awaitAllSidecars()
 
-    Tables(docs, vocab, encoded, signatures, candidates, pairs, components, substring)
+    Tables(docs, vocab, encoded, signatures, candidates, pairs, components, substring, topn)
   }
 }

@@ -82,6 +82,24 @@ class PipelineParitySpec extends SparkSpec {
     assert(viaJoin.nonEmpty && viaJoin == viaBroadcast)
   }
 
+  test("topN config produces a ranked per-probe report stage equal to TopN.perProbe") {
+    val files = CorpusGen.corpusLocal(300)
+    val input = spark.createDataFrame(files)
+    val work = tmpDir("graft-topn")
+    val t = Pipeline.run(spark, input, cfg.copy(topN = Some(3)), work)
+    val report = t.topn.getOrElse(fail("topN=Some(3) must yield a topn stage"))
+    def rows(df: DataFrame): Set[(String, Long, Long, Int, Double)] =
+      df.select("group", "probe", "matched", "rank", "sim")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+        .toSet
+    val want = rows(TopN.perProbe(t.pairs, 3))
+    assert(want.nonEmpty && rows(report) == want)
+    assert(!rows(report).exists(_._4 > 3))
+    // the stage is checkpointed + resumable like every other stage
+    assert(Checkpoints.exists(spark, s"$work/topn"))
+  }
+
   test("CompactDict: exact lookups, absent -> -1, measured footprint at the cap") {
     // realistic token shapes (repo-local identifiers like the bench corpus)
     val n = graft.dedup.Vocabulary.BroadcastMaxVocab.toInt
