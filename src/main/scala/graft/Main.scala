@@ -12,6 +12,7 @@ import org.apache.spark.sql.functions._
   * Usage:
   *   graft.Main --gen 10000 --work /tmp/graft-work [--threshold 0.7]
   *              [--shingle-k 1] [--group-col lang] [--cpus 8]
+  *              [--topn 3] [--substring true]
   *   graft.Main --input /data/files.parquet --work /data/graft-work
   */
 object Main {
@@ -37,7 +38,9 @@ object Main {
     val cfg = Config(
       groupCols = opts.getOrElse("--group-col", "lang").split(',').toSeq,
       shingleK = opts.getOrElse("--shingle-k", "1").toInt,
-      threshold = opts.getOrElse("--threshold", "0.7").toDouble
+      threshold = opts.getOrElse("--threshold", "0.7").toDouble,
+      topN = opts.get("--topn").map(_.toInt),
+      substringDedup = opts.get("--substring").exists(_.toBoolean)
     )
 
     val input = opts.get("--input") match {
@@ -57,7 +60,7 @@ object Main {
       "candidates" -> t.candidates,
       "pairs" -> t.pairs,
       "components" -> t.components
-    )
+    ) ++ t.substring.map("substring" -> _) ++ t.topn.map("topn" -> _)
     stages.foreach { case (name, df) => println(f"$name%-12s ${df.count()}%10d rows") }
     val wall = (System.nanoTime() - t0) / 1e9
     val nDocs = t.docs.count()
