@@ -22,15 +22,20 @@ import org.apache.spark.sql.functions._
   *    [[oversizedBuckets]].
   *
   * Physical shape (round-3 rewrite): ONE hash exchange on the bucket key +
-  * ONE in-partition sort by (key, doc_id) + a STREAMING mapPartitions pair
+  * ONE in-partition sort by (key, doc_id) + a STREAMING mapPartitions
   * generator. The round-2 plan (window count + collect_list + double explode
   * + a second window for the chain path) paid two window sorts over the full
   * band-row table — the worst-scaling stage of the official bench. The
   * generator buffers at most maxBucket+1 ids per bucket (it switches to chain
   * emission the moment a bucket exceeds the cap), so task memory stays
   * bounded no matter how hot a bucket gets — strictly better than any
-  * collect_list shape. Emitted pair sets are bitwise-identical to round 2's
-  * (asserted by the PairGen spec and the q23/q24/q28/q31a oracles).
+  * collect_list shape. It emits one (id, tail-array) row per doc per bucket
+  * — NOT one JVM object per pair — and the quadratic pair fan-out happens in
+  * a codegen'd `explode` over the primitive long arrays (the oracle-config
+  * detectors expand ~60x more raw pairs than distinct ones; boxing each was
+  * measurably slower than Tungsten generation). Emitted pair sets are
+  * bitwise-identical to round 2's (asserted by the PairGen spec and the
+  * q23/q24/q28/q31a oracles).
   *
   * Exact duplicates should be collapsed to one representative per content
   * hash BEFORE this runs (see [[Pipeline]]) — otherwise a 100k-copy file
@@ -54,12 +59,12 @@ object PairGen {
     val cap = maxBucket
     prepared
       .mapPartitions { it =>
-        new Iterator[(Long, Long)] {
+        new Iterator[(Long, Array[Long])] {
           private val buf = new ArrayBuffer[Long]()
           private val curKey = new Array[Any](nKeys)
           private var haveKey = false
           private var chain = false
-          private var pending: Iterator[(Long, Long)] = Iterator.empty
+          private var pending: Iterator[(Long, Array[Long])] = Iterator.empty
 
           private def sameKey(r: org.apache.spark.sql.Row): Boolean = {
             var i = 0
@@ -70,26 +75,26 @@ object PairGen {
             true
           }
 
-          /** Full B^2/2 pairs of a completed small bucket (ids ascending). */
-          private def fullPairs(ids: Array[Long]): Iterator[(Long, Long)] =
+          /** Small completed bucket: one (id, full tail) row per doc — the
+            * exploded union is the full B^2/2 pair set (ids ascending). */
+          private def fullRows(ids: Array[Long]): Iterator[(Long, Array[Long])] =
             if (ids.length < 2) Iterator.empty
             else
-              (0 until ids.length - 1).iterator.flatMap { i =>
-                (i + 1 until ids.length).iterator.map(j => (ids(i), ids(j)))
+              (0 until ids.length - 1).iterator.map { i =>
+                (ids(i), java.util.Arrays.copyOfRange(ids, i + 1, ids.length))
               }
 
-          /** Chain pairs among `ids` (each id with its <=ChainWidth forward
-            * neighbors) — used for the buffered prefix when a bucket crosses
-            * the cap. */
-          private def chainPairs(ids: Array[Long]): Iterator[(Long, Long)] =
-            (1 until ids.length).iterator.flatMap { i =>
-              (math.max(0, i - ChainWidth) until i).iterator.map(j => (ids(j), ids(i)))
+          /** Chain rows among `ids`: each id with its <=ChainWidth forward
+            * neighbors — the buffered prefix when a bucket crosses the cap. */
+          private def chainRows(ids: Array[Long]): Iterator[(Long, Array[Long])] =
+            (0 until ids.length - 1).iterator.map { i =>
+              (ids(i), java.util.Arrays.copyOfRange(ids, i + 1, math.min(i + 1 + ChainWidth, ids.length)))
             }
 
-          /** Close the current bucket: small buckets emit their full pairs
-            * now; chain-mode buckets already streamed everything. */
-          private def flushBucket(): Iterator[(Long, Long)] =
-            if (!chain && buf.length > 1) fullPairs(buf.toArray) else Iterator.empty
+          /** Close the current bucket: small buckets emit their rows now;
+            * chain-mode buckets already streamed everything. */
+          private def flushBucket(): Iterator[(Long, Array[Long])] =
+            if (!chain && buf.length > 1) fullRows(buf.toArray) else Iterator.empty
 
           private def advance(): Unit = {
             while (!pending.hasNext && it.hasNext) {
@@ -104,20 +109,21 @@ object PairGen {
                 buf.clear()
                 buf += id
               } else if (chain) {
-                // stream (each of the last <=ChainWidth ids, id); keep window
+                // stream one row: (id, the <=ChainWidth ids before it) — the
+                // exploded orientation is fixed by least/greatest below
                 val from = math.max(0, buf.length - ChainWidth)
-                pending = buf.slice(from, buf.length).toArray.iterator.map(p => (p, id))
+                pending = Iterator.single((id, buf.slice(from, buf.length).toArray))
                 buf += id
                 if (buf.length > ChainWidth) buf.remove(0, buf.length - ChainWidth)
               } else {
                 buf += id
                 if (buf.length > cap) {
                   // bucket just crossed the cap: the WHOLE bucket is chain-
-                  // linked — emit chain pairs for the buffered prefix, then
+                  // linked — emit chain rows for the buffered prefix, then
                   // stream; drop all but the trailing window
                   chain = true
                   val ids = buf.toArray
-                  pending = chainPairs(ids)
+                  pending = chainRows(ids)
                   buf.clear()
                   buf ++= ids.takeRight(ChainWidth)
                 }
@@ -134,13 +140,17 @@ object PairGen {
             if (!pending.hasNext) advance()
             pending.hasNext
           }
-          def next(): (Long, Long) = {
+          def next(): (Long, Array[Long]) = {
             if (!hasNext) throw new NoSuchElementException
             pending.next()
           }
         }
       }
-      .toDF("a", "b")
+      .toDF("x", "ys")
+      // quadratic fan-out in codegen over primitive arrays, not in the JVM
+      // iterator; chain rows arrive (later, earlier) so orient explicitly
+      .select(col("x"), explode(col("ys")).as("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
       .distinct()
   }
 
