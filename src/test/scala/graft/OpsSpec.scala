@@ -99,6 +99,31 @@ class OpsSpec extends SparkSpec {
     assert(!naivePairs.exists(t => t._1 == 9999L || t._2 == 9999L))
   }
 
+  test("q30 pair-probe records probes with no surviving tokens as missing (sim NULL)") {
+    // doc 7's tokens are all df=1 -> the min-df prune empties it -> the
+    // (0, 7) probe pair must surface with sim NULL and missing=1, not drop
+    val dir = tmpDir("graft-q30")
+    val docs = Seq(
+      (0L, "en", "alpha beta gamma delta common words here"),
+      (1L, "en", "alpha beta gamma delta common words here"),
+      (7L, "en", "zzuniqueone zzuniquetwo zzuniquethree"),
+      (8L, "en", "alpha beta gamma delta common words here")
+    ).toDF("doc_id", "lang", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val byPair = SparkEntry
+      .queries("q30_pair_probe")(spark, dir)
+      .collect()
+      .map(r =>
+        (r.getLong(0), r.getLong(1)) ->
+          ((if (r.isNullAt(2)) None else Some(r.getDouble(2))), r.getInt(3))
+      )
+      .toMap
+    assert(byPair.contains((0L, 7L)), s"probe (0,7) missing from $byPair")
+    assert(byPair((0L, 7L)) == (None, 1), "empty-token partner must be (sim NULL, missing=1)")
+    assert(byPair.contains((1L, 8L)) && byPair((1L, 8L))._2 == 0, "healthy pair must not be missing")
+    assert(byPair((1L, 8L))._1.exists(_ > 0.99), "identical docs probe at sim 1.0")
+  }
+
   test("multimodal: image rows decode real PNG pixels matching the closed-form gradients") {
     val media = Multimodal.synthesize(docs)
     val img = Multimodal
