@@ -54,7 +54,7 @@ object Vocabulary {
   /** Vocabularies up to this many entries encode via a broadcast
     * [[CompactDict]]; beyond it the shuffle join takes over. Sizing is real
     * arithmetic, not hope: the compact layout costs 2 B/char + 8 B/entry
-    * fixed + ~6.7 B/entry probe table (load 0.6) — measured 399 MB at the 8M
+    * fixed + ~6.7 B/entry probe table (load 0.6) — measured 416 MB at the 8M
     * cap with avg-14-char tokens (CompactDict.heapBytes, pinned by the test
     * suite), vs multiple GB for the same entries in round-2's
     * java.util.HashMap[String, Integer] (~90 B of object overhead per entry

@@ -90,7 +90,7 @@ object Sources {
         s"positional read needs >= ${expectedCols.length} columns, file has ${base.columns.length}"
       )
       base
-        .select(base.columns.take(expectedCols.length).map(col): _*)
+        .select(base.columns.take(expectedCols.length).toIndexedSeq.map(col): _*)
         .toDF(expectedCols: _*)
     }
   }
