@@ -99,6 +99,56 @@ class OpsSpec extends SparkSpec {
     assert(!naivePairs.exists(t => t._1 == 9999L || t._2 == 9999L))
   }
 
+  test("PPJoin prefix-filtered q13 equals a driver-side naive oracle on random skewed docs") {
+    // independent oracle: plain Scala set math over the same tokenizer
+    // semantics — guards the prefix filter beyond the fixed sf0.01 corpus
+    val rnd = new scala.util.Random(4242)
+    val hot = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val langs = Vector("aa", "bb")
+    val docsLocal = (0L until 120L).map { i =>
+      val nHot = 2 + rnd.nextInt(4)
+      val nRare = rnd.nextInt(5)
+      val toks =
+        Seq.fill(nHot)(hot(rnd.nextInt(hot.size))) ++
+          Seq.fill(nRare)(s"rare${rnd.nextInt(40)}") ++
+          (if (rnd.nextInt(4) == 0) Seq(s"solo$i") else Nil) // df-1 tokens
+      (i, langs((i % 2).toInt), toks.mkString(" "))
+    }
+    val dir = tmpDir("graft-ppjoin")
+    docsLocal.toDF("doc_id", "lang", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // oracle: tokenize (lowercase word set), min-df>=2 prune, within-lang
+    // pairs at jaccard >= 0.5 over the pruned sets
+    val sets0 = docsLocal.map { case (id, lang, text) =>
+      val toks = text
+        .split(" ")
+        .toSet
+        .filter(t => t.length > 1 && !t.forall(_.isDigit) && !graft.dedup.Stopwords.english(t))
+      (id, lang, toks)
+    }
+    val df = sets0.flatMap(_._3).groupBy(identity).view.mapValues(_.size).toMap
+    val sets = sets0
+      .map { case (id, lang, ts) => (id, lang, ts.filter(t => df(t) >= 2)) }
+      .filter(_._3.nonEmpty)
+    val want = (for {
+      (a, la, ta) <- sets
+      (b, lb, tb) <- sets
+      if a < b && la == lb
+      inter = (ta & tb).size
+      if inter > 0
+      union = ta.size + tb.size - inter
+      if inter.toDouble / union >= 0.5
+    } yield (la, a, b, inter.toLong, union.toLong, inter.toDouble / union)).toSet
+
+    val got = SparkEntry
+      .queries("q13_doc_pairs")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toSet
+    assert(want.nonEmpty, "fixture produced no oracle pairs")
+    assert(got == want)
+  }
+
   test("q30 pair-probe records probes with no surviving tokens as missing (sim NULL)") {
     // doc 7's tokens are all df=1 -> the min-df prune empties it -> the
     // (0, 7) probe pair must surface with sim NULL and missing=1, not drop
