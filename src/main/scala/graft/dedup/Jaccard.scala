@@ -3,7 +3,6 @@ package graft.dedup
 import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 
 /** Exact set-Jaccard verification kernel.
@@ -43,10 +42,6 @@ object Jaccard {
     if (inter == 0) 0.0
     else round6(inter.toDouble / (a.length + b.length - inter).toDouble)
   }
-
-  /** Column-level kernel. Inputs are ArrayType(IntegerType) sorted asc. */
-  val simUdf: UserDefinedFunction =
-    udf((a: Seq[Int], b: Seq[Int]) => jaccard6(a.toArray, b.toArray))
 
   /** Verify candidate pairs against exact Jaccard.
     *
