@@ -493,6 +493,13 @@ object SparkEntry {
       Similarity
         .lshCosineTopK(t(s, dir, "embeddings"), k = 3, dim = 64)
         .select(col("vec_id"), col("neighbor"), col("rank").cast("long").as("rnk"))),
+    // IVF-flat ANN: deterministic coarse quantizer (first-16 centroids),
+    // nProbe=4 inverted-list probe, exact re-rank — the oracle recomputes
+    // the quantizer/assignment/probe/re-rank from the table itself.
+    "q36_ivf_cosine_top3" -> ((s, dir) =>
+      Similarity
+        .ivfCosineTopK(t(s, dir, "embeddings"), k = 3, nCentroids = 16, nProbe = 4)
+        .select(col("vec_id"), col("neighbor"), col("rank").cast("long").as("rnk"))),
 
     // ---- composite group keys + group stats with distinct participants ----
     // Pairs generated within (lang, source) — the reference's composite
@@ -816,6 +823,24 @@ object SparkEntry {
          |SELECT vec_id, neighbor, rnk FROM (
          |  SELECT vec_id, neighbor,
          |   row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor) AS rnk FROM sym)
+         |WHERE rnk <= 3""".stripMargin.replace("\n", " "),
+    "q36_ivf_cosine_top3" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+         |  FROM embeddings WHERE vec_id < 16),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |scores AS (SELECT e.vec_id, cent.cid, ${cosineSql("e.v", "cent.cv")} AS score
+         |  FROM e CROSS JOIN cent),
+         |pr AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS pr
+         |  FROM scores),
+         |assign AS (SELECT vec_id, cid FROM pr WHERE pr = 1),
+         |probes AS (SELECT vec_id, cid FROM pr WHERE pr <= 4),
+         |cand AS (SELECT p.vec_id, a.vec_id AS neighbor FROM probes p
+         |  JOIN assign a ON p.cid = a.cid AND a.vec_id <> p.vec_id),
+         |pc AS (SELECT cand.vec_id, cand.neighbor, ${cosineSql("x.v", "y.v")} AS cosine
+         |  FROM cand JOIN e x ON cand.vec_id = x.vec_id JOIN e y ON cand.neighbor = y.vec_id)
+         |SELECT vec_id, neighbor, rnk FROM (
+         |  SELECT vec_id, neighbor,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor) AS rnk FROM pc)
          |WHERE rnk <= 3""".stripMargin.replace("\n", " "),
     "q34_case_control" ->
       s"""WITH $prunedTokensCte,

@@ -278,6 +278,90 @@ object Similarity {
     sym.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF-flat approximate top-k: a coarse quantizer partitions the corpus
+    * into `nCentroids` inverted lists (assignment = nearest centroid by
+    * cosine), each query probes its `nProbe` nearest lists and re-ranks the
+    * candidates exactly. The quadratic work drops to ~n^2 * nProbe /
+    * nCentroids; recall is tunable via nProbe (measured against the exact
+    * path in the test suite).
+    *
+    * The quantizer is DETERMINISTIC: centroids are the embeddings of the
+    * `nCentroids` lowest vec_ids (one narrow filter + driver collect of a
+    * few KB). A production deployment would k-means-refine them on a sample —
+    * refinement changes only the centroid values, not the plan shape — but
+    * fixed seeds keep the operator a pure function of its input, which is
+    * what lets an ANSI-SQL oracle reproduce it value-for-value (q36).
+    *
+    * All cosines are evaluated in the same index-ordered shape as [[cosine]],
+    * so scores are bit-identical across engines; ties break on (score desc,
+    * centroid/neighbor id asc). Emitted: (vec_id, neighbor, cosine, rank).
+    */
+  def ivfCosineTopK(
+      embeddings: DataFrame,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4
+  ): DataFrame = {
+    val cents: Array[(Long, Array[Double])] = centroids(embeddings, nCentroids)
+    // per-vector scores against every centroid: array of (score, cid) structs
+    val scored = embeddings.select(
+      col("vec_id"),
+      col("embedding"),
+      array(cents.map { case (cid, v) =>
+        struct(cosine(col("embedding"), lit(v)).as("score"), lit(cid.toInt).as("cid"))
+      }: _*).as("scores")
+    )
+    // struct ordering is (score, cid); sort desc then negate-cid trick is
+    // avoided by sorting asc on (-score, cid) via a mapped struct
+    val ranked = scored.withColumn(
+      "probes",
+      slice(
+        sort_array(
+          transform(col("scores"), s => struct(negate(s.getField("score")).as("neg"), s.getField("cid").as("cid")))
+        ),
+        1,
+        nProbe
+      )
+    )
+    val assignment = ranked.select(
+      col("vec_id"),
+      col("embedding"),
+      col("probes").getItem(0).getField("cid").as("cid") // nearest centroid = list membership
+    )
+    val probes = ranked.select(
+      col("vec_id"),
+      col("embedding").as("q_embedding"),
+      explode(transform(col("probes"), p => p.getField("cid"))).as("cid")
+    )
+    // candidates: query x members of its probed lists (self excluded)
+    val members = assignment.select(col("cid"), col("vec_id").as("neighbor"), col("embedding").as("n_embedding"))
+    probes
+      .join(members, "cid")
+      .filter(col("vec_id") =!= col("neighbor"))
+      // (vec_id, neighbor) is structurally unique: each neighbor lives in
+      // exactly one inverted list, so no dedup shuffle is needed
+      .select(
+        col("vec_id"),
+        col("neighbor"),
+        cosine(col("q_embedding"), col("n_embedding")).as("cosine")
+      )
+      .withColumn(
+        "rank",
+        row_number().over(Window.partitionBy(col("vec_id")).orderBy(desc("cosine"), asc("neighbor")))
+      )
+      .filter(col("rank") <= k)
+  }
+
+  /** The deterministic coarse centroids: embeddings of the `n` lowest
+    * vec_ids, as doubles (public so the SQL oracle can embed them). */
+  def centroids(embeddings: DataFrame, n: Int): Array[(Long, Array[Double])] =
+    embeddings
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .filter(col("vec_id") < n)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .sortBy(_._1)
+
   /** Embedding near-duplicate pairs at a cosine threshold (brute force). */
   def nearDupPairs(embeddings: DataFrame, minCosine: Double): DataFrame = {
     val x = embeddings.select(col("vec_id").as("a"), col("embedding").as("va"))

@@ -46,6 +46,29 @@ class OpsSpec extends SparkSpec {
     assert(recall > 0.3, s"top-1 recall $recall suspiciously low")
   }
 
+  test("IVF-flat top-k: deterministic, and probing more lists converges on the exact top-1") {
+    val exact = Similarity
+      .cosineTopK(embeddings, 1)
+      .select("vec_id", "neighbor")
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    def recallAt(nProbe: Int): Double = {
+      val approx = Similarity
+        .ivfCosineTopK(embeddings, k = 1, nCentroids = 16, nProbe = nProbe)
+        .select("vec_id", "neighbor")
+        .as[(Long, Long)]
+        .collect()
+        .toMap
+      exact.count { case (v, n) => approx.get(v).contains(n) }.toDouble / exact.size
+    }
+    val r4 = recallAt(4)
+    val r16 = recallAt(16) // probing every list == exact search
+    assert(r4 > 0.3, s"nProbe=4 recall $r4 suspiciously low")
+    assert(r16 > 0.999, s"probing all lists must equal exact top-1, got $r16")
+    assert(r16 >= r4, "recall must be monotone in nProbe")
+  }
+
   test("blocked exact cosine paths equal the naive brute-force oracle") {
     // tiny blockSize forces many tile pairs (incl. diagonal + off-diagonal)
     val exactTopK = Similarity
