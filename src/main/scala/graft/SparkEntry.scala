@@ -493,12 +493,13 @@ object SparkEntry {
       Similarity
         .lshCosineTopK(t(s, dir, "embeddings"), k = 3, dim = 64)
         .select(col("vec_id"), col("neighbor"), col("rank").cast("long").as("rnk"))),
-    // IVF-flat ANN: deterministic coarse quantizer (first-16 centroids),
-    // nProbe=4 inverted-list probe, exact re-rank — the oracle recomputes
-    // the quantizer/assignment/probe/re-rank from the table itself.
+    // IVF-flat ANN: deterministic coarse quantizer (first max(16, ceil
+    // sqrt(n)) vectors as centroids), nProbe=4 inverted-list probe, exact
+    // re-rank — the oracle recomputes quantizer/assignment/probe/re-rank
+    // from the table itself, including the sqrt sizing rule.
     "q36_ivf_cosine_top3" -> ((s, dir) =>
       Similarity
-        .ivfCosineTopK(t(s, dir, "embeddings"), k = 3, nCentroids = 16, nProbe = 4)
+        .ivfCosineTopK(t(s, dir, "embeddings"), k = 3, nProbe = 4)
         .select(col("vec_id"), col("neighbor"), col("rank").cast("long").as("rnk"))),
 
     // ---- composite group keys + group stats with distinct participants ----
@@ -825,8 +826,10 @@ object SparkEntry {
          |   row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor) AS rnk FROM sym)
          |WHERE rnk <= 3""".stripMargin.replace("\n", " "),
     "q36_ivf_cosine_top3" ->
-      s"""WITH cent AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-         |  FROM embeddings WHERE vec_id < 16),
+      s"""WITH nc AS (SELECT greatest(16, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS n
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+         |  FROM embeddings WHERE vec_id < (SELECT n FROM nc)),
          |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |scores AS (SELECT e.vec_id, cent.cid, ${cosineSql("e.v", "cent.cv")} AS score
          |  FROM e CROSS JOIN cent),

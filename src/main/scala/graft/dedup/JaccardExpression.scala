@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Allocation-free kernel shared by interpreted eval and generated code.
   * Reads the two sorted int arrays straight out of Tungsten `ArrayData`
@@ -113,4 +113,61 @@ case class IntersectCountSorted(left: Expression, right: Expression) extends Bin
 object IntersectCountSorted {
   def apply(a: Column, b: Column): Column =
     GraftBridge.column(IntersectCountSorted(GraftBridge.expression(a), GraftBridge.expression(b)))
+}
+
+/** Cosine over two equal-length float arrays, accumulated in INDEX ORDER
+  * exactly like the Column-level `Similarity.cosine` (zip_with + left-fold
+  * aggregate) and the oracles' `cosineSql` — same doubles bit-for-bit, but
+  * evaluated as one tight JVM loop on Tungsten arrays inside whole-stage
+  * codegen. Returns NaN for a zero-norm side (callers filter). */
+object CosineKernel {
+  def cos(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+case class CosineFloat(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(e =>
+      e.dataType match {
+        case ArrayType(FloatType, _) => true
+        case _                       => false
+      }
+    )
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_float expects two array<float> args, got (${left.dataType}, ${right.dataType})"
+    )
+  }
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineKernel.cos(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = graft.dedup.CosineKernel.cos($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+
+  override def prettyName: String = "cosine_float"
+}
+
+object CosineFloat {
+  def apply(a: Column, b: Column): Column =
+    GraftBridge.column(CosineFloat(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

@@ -299,52 +299,86 @@ object Similarity {
   def ivfCosineTopK(
       embeddings: DataFrame,
       k: Int,
-      nCentroids: Int = 16,
+      nCentroids: Int = 0, // 0 = adaptive: max(16, ceil(sqrt(n))) — the
+      // classic IVF sizing that keeps probe-list volume ~ n^1.5 * nProbe
       nProbe: Int = 4
   ): DataFrame = {
-    val cents: Array[(Long, Array[Double])] = centroids(embeddings, nCentroids)
-    // per-vector scores against every centroid: array of (score, cid) structs
-    val scored = embeddings.select(
-      col("vec_id"),
-      col("embedding"),
-      array(cents.map { case (cid, v) =>
-        struct(cosine(col("embedding"), lit(v)).as("score"), lit(cid.toInt).as("cid"))
-      }: _*).as("scores")
-    )
-    // struct ordering is (score, cid); sort desc then negate-cid trick is
-    // avoided by sorting asc on (-score, cid) via a mapped struct
-    val ranked = scored.withColumn(
-      "probes",
-      slice(
-        sort_array(
-          transform(col("scores"), s => struct(negate(s.getField("score")).as("neg"), s.getField("cid").as("cid")))
-        ),
-        1,
-        nProbe
-      )
-    )
+    val nc =
+      if (nCentroids > 0) nCentroids
+      else math.max(16, math.ceil(math.sqrt(embeddings.count().toDouble)).toInt)
+    val cents: Array[(Long, Array[Double])] = centroids(embeddings, nc)
+    val spark = embeddings.sparkSession
+    val bCents = spark.sparkContext.broadcast(cents)
+    val np = nProbe
+    // top-nProbe centroid ids per vector, ordered (score desc, cid asc) —
+    // one tight loop over the broadcast matrix; cosine accumulation is the
+    // same index-ordered shape as CosineKernel / the SQL oracle, so the
+    // selected lists match the oracle's ranking bitwise. A 100-plus-wide
+    // Column expression here blew past whole-stage codegen limits.
+    val probesUdf = udf { (emb: Seq[Float]) =>
+      val cs = bCents.value
+      val scores = new Array[Double](cs.length)
+      var j = 0
+      while (j < cs.length) {
+        val c = cs(j)._2
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < c.length) {
+          val x = emb(i).toDouble
+          val y = c(i)
+          dot += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        scores(j) = dot / (math.sqrt(na) * math.sqrt(nb))
+        j += 1
+      }
+      // selection sort of the top np indexes by (score desc, cid asc) —
+      // cs is cid-ascending, so index order is cid order; NaN (zero-norm)
+      // scores lose every comparison and such vectors probe nothing
+      val sel = Array.newBuilder[Int]
+      val used = new Array[Boolean](cs.length)
+      var r = 0
+      while (r < math.min(np, cs.length)) {
+        var best = -1
+        var jj = 0
+        while (jj < cs.length) {
+          if (!used(jj) && scores(jj) == scores(jj) &&
+            (best == -1 || scores(jj) > scores(best))) best = jj
+          jj += 1
+        }
+        if (best == -1) r = cs.length // only NaNs left
+        else { used(best) = true; sel += cs(best)._1.toInt; r += 1 }
+      }
+      sel.result()
+    }
+    val ranked = embeddings
+      .select(col("vec_id"), col("embedding"), probesUdf(col("embedding")).as("probes"))
+      .filter(size(col("probes")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val assignment = ranked.select(
       col("vec_id"),
       col("embedding"),
-      col("probes").getItem(0).getField("cid").as("cid") // nearest centroid = list membership
+      col("probes").getItem(0).as("cid") // nearest centroid = list membership
     )
     val probes = ranked.select(
       col("vec_id"),
       col("embedding").as("q_embedding"),
-      explode(transform(col("probes"), p => p.getField("cid"))).as("cid")
+      explode(col("probes")).as("cid")
     )
-    // candidates: query x members of its probed lists (self excluded)
+    // candidates: query x members of its probed lists (self excluded);
+    // (vec_id, neighbor) is structurally unique — each neighbor lives in
+    // exactly one inverted list — so no dedup shuffle is needed. Exact
+    // re-rank through the codegen'd kernel (bit-equal to Column cosine).
     val members = assignment.select(col("cid"), col("vec_id").as("neighbor"), col("embedding").as("n_embedding"))
     probes
       .join(members, "cid")
       .filter(col("vec_id") =!= col("neighbor"))
-      // (vec_id, neighbor) is structurally unique: each neighbor lives in
-      // exactly one inverted list, so no dedup shuffle is needed
       .select(
         col("vec_id"),
         col("neighbor"),
-        cosine(col("q_embedding"), col("n_embedding")).as("cosine")
+        graft.dedup.CosineFloat(col("q_embedding"), col("n_embedding")).as("cosine")
       )
+      .filter(!isnan(col("cosine")))
       .withColumn(
         "rank",
         row_number().over(Window.partitionBy(col("vec_id")).orderBy(desc("cosine"), asc("neighbor")))
