@@ -39,7 +39,14 @@ object HashKernels {
         val x = tokens.getInt(t).toLong & 0x7fffffffL
         var i = 0
         while (i < k) {
-          val h = (as(i) * x + bs(i)) % P
+          // exact (a*x + b) mod 2^31-1 via Mersenne folding (2^31 ≡ 1):
+          // v < 2^62, two folds + conditional subtract replace the hardware
+          // division `%` costs — this loop runs perms × tokens times per doc
+          // and dominated the signatures stage CPU profile
+          val v = as(i) * x + bs(i)
+          val f1 = (v & P) + (v >>> 31)
+          var h = (f1 & P) + (f1 >>> 31)
+          if (h >= P) h -= P
           if (h < sig(i)) sig(i) = h
           i += 1
         }

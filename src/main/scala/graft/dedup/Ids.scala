@@ -13,83 +13,113 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * (nondeterministic under retries / partition changes) and a global
   * single-partition `row_number()` window (all rows through one task).
   *
-  * Strategy (the classic two-pass dense-rank):
-  *  1. range-repartition + sort within partitions on the sort keys — one
-  *     real shuffle, scales to any row count;
-  *  2. one narrow mapPartitions job counts (distinct) rows per partition; the
-  *     driver folds counts into per-partition start offsets (O(#partitions)
-  *     driver state, no extra shuffle);
-  *  3. a second narrow pass stamps offset + local index — and, when
-  *     `dropDuplicateKeys` is set, skips rows whose key repeats the previous
-  *     row's (equal keys are adjacent after the sort and can never span a
-  *     range-partition boundary), folding `dropDuplicates` into the same
-  *     shuffle for free.
+  * Two paths, one contract (ids = dense rank over the distinct sort-key
+  * tuples, in key order — a pure function of the input's key set):
   *
-  * Deterministic as long as the sort keys identify rows uniquely: range
-  * boundaries only move rows between partitions, never change the global
-  * sorted order, so ids are a pure function of the input rows.
+  *  - [[assignDense]]: direct two-pass stamp for SKINNY inputs whose keys
+  *    are already unique (vocabulary rows, element-df tables). One range
+  *    shuffle; the input is persisted so the sampling pass does not re-run
+  *    an expensive upstream lineage.
+  *  - [[assignDenseByKey]]: for WIDE payload rows (the corpus). The payload
+  *    never enters the id machinery — only the key projection flows through
+  *    the stamp; the payload pays exactly one hash shuffle (the id join).
+  *    The round-3 version persisted the full corpus TWICE inside the docs
+  *    stage and its 2.97x core-scaling showed it.
   */
 object Ids {
 
-  def assignDense(
+  // caches created by id assignment; the consuming stage releases them once
+  // its output is materialized (e.g. after a checkpoint write)
+  private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Unpersist (non-blocking) every cache created by [[assignDense]] /
+    * [[assignDenseByKey]] since the last release. Call after the consuming
+    * plan is materialized. */
+  def releaseCaches(): Unit = {
+    var d = live.poll()
+    while (d != null) { d.unpersist(blocking = false); d = live.poll() }
+  }
+
+  /** Direct stamp: `df`'s rows must be UNIQUE by `sortCols` (vocabulary
+    * aggregates and similar skinny tables are, by construction). Payload
+    * columns ride along through the range shuffle. */
+  def assignDense(df: DataFrame, sortCols: Seq[String], idCol: String): DataFrame = {
+    // the sampling pass of repartitionByRange re-executes the input lineage;
+    // persist so an upstream aggregate is computed once
+    val input = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    live.add(input)
+    stampDense(input, sortCols, idCol)
+  }
+
+  /** Id assignment for wide rows: stamp the distinct key projection, join
+    * ids back (null-safe, shuffle-hash on the skinny build side). With
+    * `dropDuplicateKeys`, rows sharing a key tuple collapse to one
+    * arbitrary row — detected on the SKINNY side and resolved with a fat
+    * aggregate only when duplicates actually exist, so the common
+    * unique-key corpus never pays a payload sort. */
+  def assignDenseByKey(
       df: DataFrame,
       sortCols: Seq[String],
       idCol: String,
       dropDuplicateKeys: Boolean = false
   ): DataFrame = {
+    val base = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    live.add(base)
+    val keyCnt = base.groupBy(sortCols.map(col): _*).agg(count(lit(1)).as("__cnt"))
+    val keyIds = stampDense(keyCnt, sortCols, idCol)
+    val hasDups = dropDuplicateKeys &&
+      keyIds.filter(col("__cnt") > 1).limit(1).count() > 0
+    val deduped = if (hasDups) base.dropDuplicates(sortCols) else base
+    val right = keyIds
+      .select(sortCols.map(c => col(c).as(s"__k_$c")) :+ col(idCol): _*)
+      // build-side hint: the ids table is the small side; without it a
+      // sort-merge join would re-sort the wide payload
+      .hint("shuffle_hash")
+    // null-safe join keys: a null key tuple is still a (single) valid key,
+    // and plain `=` would silently drop those rows
+    val cond = sortCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
+    deduped
+      .join(right, cond)
+      .select(df.columns.map(col) :+ col(idCol): _*)
+  }
+
+  /** Two-pass dense stamp over rows unique by `sortCols`: range-partition +
+    * sort (one shuffle), count rows per partition (narrow job over the
+    * cached sorted copy), fold counts into start offsets on the driver
+    * (O(#partitions) state), stamp offset + local index (second narrow
+    * job). The persist pins the partitioning both jobs must share. */
+  private def stampDense(input: DataFrame, sortCols: Seq[String], idCol: String): DataFrame = {
     val cols = sortCols.map(col)
-    // repartitionByRange runs a separate SAMPLING job before the shuffle —
-    // without caching the input, the whole upstream lineage executes twice
-    val input = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // persist: the count job and the stamping job MUST see the same physical
-    // partitioning — without it each action re-samples range boundaries and
-    // the per-partition offsets would not line up.
     val sorted = input
       .repartitionByRange(cols: _*)
       .sortWithinPartitions(cols: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    live.add(sorted)
 
-    val keyIdx = sortCols.map(sorted.schema.fieldIndex)
-    def keyOf(r: Row): Seq[Any] = keyIdx.map(r.get)
-
-    import org.apache.spark.sql.Encoders.{scalaInt, scalaLong, tuple}
-    val counts: Array[(Int, Long)] = sorted
+    // count via the InternalRow iterator — no per-row object conversion
+    val counts: Array[(Int, Long)] = sorted.queryExecution.toRdd
       .mapPartitions { it =>
         var n = 0L
-        var prev: Seq[Any] = null
-        it.foreach { r =>
-          val k = keyOf(r)
-          if (!dropDuplicateKeys || prev == null || k != prev) n += 1
-          prev = k
-        }
+        while (it.hasNext) { it.next(); n += 1 }
         Iterator.single((TaskContext.getPartitionId(), n))
-      }(tuple(scalaInt, scalaLong))
+      }
       .collect()
       .sortBy(_._1)
-
-    input.unpersist() // sorted copy is materialized; upstream no longer needed
 
     val offsets: Map[Int, Long] = {
       var acc = 0L
       counts.map { case (pid, n) => val o = (pid, acc); acc += n; o }.toMap
     }
-    val bOffsets = df.sparkSession.sparkContext.broadcast(offsets)
+    val bOffsets = input.sparkSession.sparkContext.broadcast(offsets)
 
     val outSchema = StructType(sorted.schema.fields :+ StructField(idCol, LongType, nullable = false))
     sorted.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
-      val start = bOffsets.value.getOrElse(pid, 0L)
-      var i = -1L
-      var prev: Seq[Any] = null
-      it.flatMap { r =>
-        val k = keyOf(r)
-        val dup = dropDuplicateKeys && prev != null && k == prev
-        prev = k
-        if (dup) None
-        else {
-          i += 1
-          Some(Row.fromSeq(r.toSeq :+ (start + i)))
-        }
+      var next = bOffsets.value.getOrElse(pid, 0L)
+      it.map { r =>
+        val out = Row.fromSeq(r.toSeq :+ next)
+        next += 1
+        out
       }
     }(Encoders.row(outSchema))
   }

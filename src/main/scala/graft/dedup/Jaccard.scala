@@ -60,7 +60,11 @@ object Jaccard {
     // join, so one conjunct = one fewer kernel evaluation per candidate row
     val floor = math.max(minSim, java.lang.Double.MIN_VALUE)
     candidates
+      // shuffle-hash build on the skinny pair side: a sort-merge join here
+      // would sort the wide token-array table twice (once per probe join)
+      .hint("shuffle_hash")
       .join(docsA, "a")
+      .hint("shuffle_hash")
       .join(docsB, "b")
       // codegen'd Catalyst expression (no UDF boxing) — see JaccardExpression
       .withColumn("sim", JaccardSorted(col("tokens_a"), col("tokens_b")))
@@ -80,7 +84,9 @@ object Jaccard {
     val docsA = encoded.select(col("doc_id").as("a"), col("group"), col("tokens").as("tokens_a"))
     val docsB = encoded.select(col("doc_id").as("b"), col("tokens").as("tokens_b"))
     candidates
+      .hint("shuffle_hash")
       .join(docsA, "a")
+      .hint("shuffle_hash")
       .join(docsB, "b")
       // codegen'd Catalyst expression, no per-element boxing (JaccardExpression)
       .withColumn("inter_cnt", IntersectCountSorted(col("tokens_a"), col("tokens_b")).cast("long"))

@@ -38,7 +38,11 @@ object MinHash {
       val x = tokens(t).toLong & 0x7fffffffL
       var i = 0
       while (i < k) {
-        val h = (as(i) * x + bs(i)) % P
+        // exact (a*x + b) mod P via Mersenne folding — see MinHashKernel
+        val v = as(i) * x + bs(i)
+        val f1 = (v & P) + (v >>> 31)
+        var h = (f1 & P) + (f1 >>> 31)
+        if (h >= P) h -= P
         if (h < sig(i)) sig(i) = h
         i += 1
       }

@@ -38,11 +38,23 @@ object Pipeline {
       topn: Option[DataFrame] = None
   )
 
-  /** Stage 1 logic (no checkpoint): tokenize + ids + lineage. Key dedup is
-    * folded into the id-assignment shuffle (equal keys sort adjacent). */
+  /** Stage 1 logic (no checkpoint): tokenize + ids + lineage.
+    *
+    * Order matters for scale: sha256 / byte-count / tokenize run FIRST and
+    * `content` is dropped, so the id-assignment join (the one shuffle the
+    * corpus pays here) moves token arrays instead of raw text, and the
+    * heavy per-row CPU happens exactly once, during the single
+    * materialization of the cached base. Key dedup is detected on the
+    * skinny key side and only resolved with a payload aggregate when
+    * duplicates actually exist ([[Ids.assignDenseByKey]]). */
   def prepareDocs(input: DataFrame, cfg: Config): DataFrame = {
+    val derived = input
+      .withColumn("content_sha", sha2(col("content"), 256))
+      .withColumn("n_bytes", octet_length(col("content")))
+      .withColumn("tokens", Tokenize.tokenSet(col("content"), cfg.shingleK))
+      .drop("content")
     val withId =
-      Ids.assignDense(input, Seq("repo", "path", "commit"), "doc_id", dropDuplicateKeys = true)
+      Ids.assignDenseByKey(derived, Seq("repo", "path", "commit"), "doc_id", dropDuplicateKeys = true)
     val groupExpr =
       if (cfg.groupCols.size == 1) col(cfg.groupCols.head).cast("string")
       else
@@ -63,9 +75,6 @@ object Pipeline {
         )
     withId
       .withColumn("group", groupExpr)
-      .withColumn("content_sha", sha2(col("content"), 256))
-      .withColumn("n_bytes", octet_length(col("content")))
-      .withColumn("tokens", Tokenize.tokenSet(col("content"), cfg.shingleK))
       .filter(size(col("tokens")) > 0)
       .select("doc_id", "repo", "path", "commit", "group", "content_sha", "n_bytes", "tokens")
   }
@@ -80,7 +89,7 @@ object Pipeline {
       .agg(min(col("doc_id")).as("rep_id"))
     docs
       .select(col("doc_id"), col("group"), col("content_sha"))
-      .join(mins, Seq("group", "content_sha"))
+      .join(mins.hint("shuffle_hash"), Seq("group", "content_sha"))
       .select(col("doc_id"), col("group"), col("rep_id"))
   }
 
@@ -100,7 +109,9 @@ object Pipeline {
     val memA = classMap.select(col("rep_id").as("a"), col("doc_id").as("ma"))
     val memB = classMap.select(col("rep_id").as("b"), col("doc_id").as("mb"))
     val cross = repPairs
+      .hint("shuffle_hash")
       .join(memA, "a")
+      .hint("shuffle_hash")
       .join(memB, "b")
       .select(
         col("group"),
@@ -126,9 +137,14 @@ object Pipeline {
     val docs = Checkpoints.stage(spark, "docs", p("docs"), Seq("group"))(
       prepareDocs(input, cfg)
     )
+    // the id-assignment caches inside prepareDocs are dead weight once the
+    // stage is parquet-committed (stage() re-reads from disk) — free them
+    // before the wide stages start competing for executor memory
+    Ids.releaseCaches()
     val vocab = Checkpoints.stage(spark, "vocab", p("vocab"), Nil, Seq(p("docs")))(
       Vocabulary.build(docs, cfg)
     )
+    Ids.releaseCaches()
     val encoded = Checkpoints.stage(spark, "encoded", p("encoded"), Seq("group"), Seq(p("docs"), p("vocab")))(
       // vocab size from the metrics sidecar picks the encode plan
       // (broadcast map vs shuffle join) without an extra count job
@@ -138,7 +154,7 @@ object Pipeline {
     // Only docs that survived pruning take part in classes / signatures.
     // Persisted: consumed by the signatures stage AND pair expansion — without
     // the cache its groupBy+join lineage re-executes in every consumer.
-    val classMap = exactClassMap(docs.join(encoded.select("doc_id"), "doc_id"))
+    val classMap = exactClassMap(docs.join(encoded.select("doc_id").hint("shuffle_hash"), "doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val signatures = Checkpoints.stage(spark, "signatures", p("signatures"), Seq("group"), Seq(p("encoded")))({
@@ -156,7 +172,8 @@ object Pipeline {
       val hot = Vocabulary.hotTokenIds(vocab, nDocs, cfg)
       val reps = classMap.filter(col("doc_id") === col("rep_id")).select("doc_id")
       val sigInput = encoded
-        .join(reps, "doc_id")
+        // build on the skinny id side — SMJ would sort the wide token table
+        .join(reps.hint("shuffle_hash"), "doc_id")
         // two-pointer sorted difference, not array_except(.., lit(hot)):
         // the built-in rebuilds a hash set from the literal on every row
         .withColumn("sig_tokens", ArrayExceptSorted(col("tokens"), hot))

@@ -97,15 +97,37 @@ object Vocabulary {
   }
 
   /** Broadcast-map encode path: one narrow pass, tokens absent from the
-    * vocabulary (min-df casualties) are dropped like the join would. */
+    * vocabulary (min-df casualties) are dropped like the join would.
+    *
+    * The dictionary ships to the driver as PACKED PER-PARTITION BLOBS (one
+    * char blob + offset/id arrays per partition) rather than 5M collected
+    * Rows: executors do the string packing in parallel, the driver only
+    * concatenates arrays and builds the probe table — profiling showed the
+    * row-by-row collect + per-entry String handling was most of this stage's
+    * serial fraction (the part that caps scaling efficiency). Falls back to
+    * the shuffle join when the char blob would overflow Int index space
+    * (huge shingle vocabularies) instead of failing the encode. */
   def encodeBroadcast(docs: DataFrame, vocab: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val entries = vocab
+    val blobs = vocab
       .select(col("token"), col("token_id").cast("int"))
       .as[(String, Int)]
+      .mapPartitions { it =>
+        val sb = new java.lang.StringBuilder
+        val offs = Array.newBuilder[Int]
+        val ids = Array.newBuilder[Int]
+        it.foreach { case (tok, id) =>
+          offs += sb.length()
+          sb.append(tok)
+          ids += id
+        }
+        Iterator.single((sb.toString, offs.result(), ids.result()))
+      }
       .collect()
-    val bDict = spark.sparkContext.broadcast(CompactDict.build(entries))
+    val totalChars = blobs.foldLeft(0L)((acc, b) => acc + b._1.length)
+    if (totalChars > Int.MaxValue) return encodeJoin(docs, vocab)
+    val bDict = spark.sparkContext.broadcast(CompactDict.fromBlobs(blobs))
     val encodeUdf = udf { (tokens: Seq[String]) =>
       val d = bDict.value
       val out = Array.newBuilder[Int]
@@ -189,10 +211,6 @@ object CompactDict {
     val chars = new Array[Char](total.toInt)
     val offs = new Array[Int](n + 1)
     val ids = new Array[Int](n)
-    var cap = 4
-    while (cap * 3L < n * 5L) cap <<= 1 // load <= 0.6
-    val table = Array.fill(cap)(-1)
-    val mask = cap - 1
     var e = 0
     var off = 0
     while (e < n) {
@@ -201,12 +219,59 @@ object CompactDict {
       s.getChars(0, s.length, chars, off)
       off += s.length
       ids(e) = id
-      var i = spread(s.hashCode) & mask
+      e += 1
+    }
+    offs(n) = off
+    new CompactDict(chars, offs, ids, probeTable(chars, offs, ids.length))
+  }
+
+  /** Assemble from executor-packed per-partition blobs (blob string, entry
+    * offsets into the blob, entry ids): pure array concatenation plus the
+    * probe-table build — no per-entry String object ever exists on the
+    * driver. Token hashes are computed from the char blob with String's
+    * exact hash recurrence, so probing with a String key still matches. */
+  def fromBlobs(blobs: Array[(String, Array[Int], Array[Int])]): CompactDict = {
+    var totalChars = 0L
+    var n = 0
+    blobs.foreach { case (s, o, _) => totalChars += s.length; n += o.length }
+    require(totalChars <= Int.MaxValue, s"dictionary char blob overflows Int index space: $totalChars")
+    val chars = new Array[Char](totalChars.toInt)
+    val offs = new Array[Int](n + 1)
+    val ids = new Array[Int](n)
+    var e = 0
+    var base = 0
+    blobs.foreach { case (s, o, pid) =>
+      s.getChars(0, s.length, chars, base)
+      var i = 0
+      while (i < o.length) {
+        offs(e) = base + o(i)
+        ids(e) = pid(i)
+        e += 1
+        i += 1
+      }
+      base += s.length
+    }
+    offs(n) = base
+    new CompactDict(chars, offs, ids, probeTable(chars, offs, n))
+  }
+
+  private def probeTable(chars: Array[Char], offs: Array[Int], n: Int): Array[Int] = {
+    var cap = 4
+    while (cap * 3L < n * 5L) cap <<= 1 // load <= 0.6
+    val table = Array.fill(cap)(-1)
+    val mask = cap - 1
+    var e = 0
+    while (e < n) {
+      // String.hashCode over the entry's blob span (h = 31*h + c)
+      var h = 0
+      var j = offs(e)
+      val end = offs(e + 1)
+      while (j < end) { h = 31 * h + chars(j); j += 1 }
+      var i = spread(h) & mask
       while (table(i) != -1) i = (i + 1) & mask
       table(i) = e
       e += 1
     }
-    offs(n) = off
-    new CompactDict(chars, offs, ids, table)
+    table
   }
 }

@@ -247,7 +247,7 @@ class KernelSpec extends SparkSpec {
       .toDF("k", "v")
       .repartition(5)
     val got = Ids
-      .assignDense(df, Seq("k"), "id", dropDuplicateKeys = true)
+      .assignDenseByKey(df, Seq("k"), "id", dropDuplicateKeys = true)
       .select("k", "id")
       .as[(String, Long)]
       .collect()
