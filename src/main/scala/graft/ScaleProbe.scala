@@ -12,7 +12,7 @@ object ScaleProbe {
     val levels = if (args.length > 1) args.tail.map(_.toInt).toSeq else Seq(2, 8)
     Bench.pipelineRun(8, math.min(n, 50000L)) // warmup
     val res = levels.map { c =>
-      val (secs, stages) = Bench.pipelineRun(c, n)
+      val (secs, stages, _) = Bench.pipelineRun(c, n)
       println(f"SCALE cpus=$c n=$n secs=$secs%.1f files/sec=${n / secs}%.0f")
       stages.toSeq.sortBy(_._1).foreach { case (s, ms) => println(f"  stage $s%-12s ${ms / 1000.0}%.1f s") }
       c -> secs

@@ -67,13 +67,50 @@ object SparkEntry {
     * Composite `keys` generate pairs WITHIN each distinct key combination
     * (the reference's (year, patent_type) grouping,
     * code/main_citation_control.py:297-328). */
-  private def docPairsBy(docs: DataFrame, minSim: Double, keys: Seq[String]): DataFrame = {
+  private def docPairsBy(
+      docs: DataFrame,
+      minSim: Double,
+      keys: Seq[String],
+      prefixFilter: Boolean = true
+  ): DataFrame = {
     val kc = keys.map(col)
     val tok = docs.select(
       (col("doc_id") +: kc) :+ explode(Tokenize.tokenSet(col("text"))).as("token"): _*
     )
     val voc = tok.groupBy("token").agg(count(lit(1)).as("df")).filter(col("df") >= 2)
-    pairsWithPrefixFilter(tok, voc, "token", minSim, keys)
+    if (prefixFilter) pairsWithPrefixFilter(tok, voc, "token", minSim, keys)
+    else pairsPlain(tok, voc, "token", minSim, keys)
+  }
+
+  /** Plain exact all-pairs tail (no prefix machinery): inverted-index join +
+    * intersection count + size join. For composite group keys the key
+    * equality already bounds the join volume, and the prefix filter's fixed
+    * costs (element ranking, set re-grouping, two extra persists) exceed
+    * what it saves — the round-3 bench showed q32 LOSING 93% to them. */
+  private def pairsPlain(
+      elems: DataFrame,
+      edf: DataFrame,
+      elemCol: String,
+      minSim: Double,
+      keys: Seq[String]
+  ): DataFrame = {
+    val kc = keys.map(col)
+    val pe = elems.join(edf.select(elemCol), elemCol)
+    val sz = pe.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pe
+      .select(kc :+ col(elemCol) :+ col("doc_id").as("a"): _*)
+      .join(pe.select(kc :+ col(elemCol) :+ col("doc_id").as("b"): _*), keys :+ elemCol)
+      .filter(col("a") < col("b"))
+      .groupBy(kc :+ col("a") :+ col("b"): _*)
+      .agg(count(lit(1)).as("inter_cnt"))
+    inter
+      .join(sz.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .withColumn("inter_cnt", col("inter_cnt").cast("long"))
+      .withColumn("union_cnt", (col("na") + col("nb")).cast("long") - col("inter_cnt"))
+      .withColumn("sim", col("inter_cnt").cast("double") / col("union_cnt"))
+      .filter(col("sim") >= minSim)
+      .select(kc ++ Seq(col("a"), col("b"), col("inter_cnt"), col("union_cnt"), col("sim")): _*)
   }
 
   /** Shared prefix-filtered exact-Jaccard tail: encode elements to dense ints
@@ -94,7 +131,9 @@ object SparkEntry {
     val ranked = Ids.assignDense(edf, Seq("df", elemCol), "eid")
     val pe = elems.join(ranked.select(col(elemCol), col("eid").cast("int").as("eid")), elemCol)
     // the per-doc set table is the hub of the plan — both prefix sides and
-    // both verify sides consume it (4 scans); cache it once
+    // both verify sides consume it (4 scans); cache it once. One-shot-session
+    // assumption as docsEncodedCached: bench/verify runs end with the session,
+    // a long-lived service would unpersist after materializing the consumer.
     val sets = pe
       .groupBy(col("doc_id") +: kc: _*)
       .agg(sort_array(collect_list(col("eid"))).as("ts"))
@@ -105,13 +144,31 @@ object SparkEntry {
     // which would shorten the prefix and silently drop true pairs; a too-LONG
     // prefix only adds candidates the verify step discards.
     val prefLen = (col("n") - ceil(lit(minSim) * col("n") - lit(1e-9)) + lit(1)).cast("int")
+    // POSITIONAL filter (PPJoin proper, Xiao et al. WWW'08 §3.2): a match on
+    // prefix token e at 0-based sorted positions (pa, pb) bounds the overlap
+    // by min(pa,pb) + 1 + min(na-pa-1, nb-pb-1); pairs need overlap >=
+    // alpha = ceil(t/(1+t)*(na+nb)). Every per-row bound is a true upper
+    // bound, so a TRUE pair passes on every matched row (no recall loss),
+    // while at low thresholds — where the prefix itself is nearly the whole
+    // doc and prunes nothing — most candidate rows fail the bound and never
+    // reach distinct+verify. The epsilon keeps an exact-integer alpha from
+    // rounding UP on binary error (which would drop true pairs at the
+    // boundary); rounding DOWN only admits candidates verify discards.
     val pref = sets.select(
-      kc :+ col("doc_id") :+ explode(slice(col("ts"), lit(1), prefLen)).as("eid"): _*
+      kc ++ Seq(col("doc_id"), col("n"), posexplode(slice(col("ts"), lit(1), prefLen)).as(Seq("p", "eid"))): _*
     )
+    val alpha = ceil(lit(minSim) / (lit(1.0) + lit(minSim)) * (col("na") + col("nb")) - lit(1e-9))
     val cand = pref
-      .select(kc :+ col("eid") :+ col("doc_id").as("a"): _*)
-      .join(pref.select(kc :+ col("eid") :+ col("doc_id").as("b"): _*), keys :+ "eid")
+      .select(kc ++ Seq(col("eid"), col("doc_id").as("a"), col("n").as("na"), col("p").as("pa")): _*)
+      .join(
+        pref.select(kc ++ Seq(col("eid"), col("doc_id").as("b"), col("n").as("nb"), col("p").as("pb")): _*),
+        keys :+ "eid"
+      )
       .filter(col("a") < col("b"))
+      .filter(
+        least(col("pa"), col("pb")) + lit(1) +
+          least(col("na") - col("pa") - lit(1), col("nb") - col("pb") - lit(1)) >= alpha
+      )
       .select(kc :+ col("a") :+ col("b"): _*)
       .distinct()
     val sa = sets.select(col("doc_id").as("a"), col("ts").as("ts_a"), col("n").as("na"))
@@ -248,6 +305,32 @@ object SparkEntry {
       .map(j => base.modPow(BigInt(15 - j), M).toString)
       .mkString("[", "::HUGEINT, ", "::HUGEINT]")
   }
+
+  /** Winnowing candidate CTEs shared by the q31a/q31b oracles — recompute
+    * [[graft.dedup.SuffixDedup.candidatePairs]] at (k=16, window=5,
+    * maxFpDf=200) in SQL, ending in `wcand(lang, a, b)`. With maxFpDf <=
+    * maxBucket no bucket can hit the chain-linking path, so this IS the
+    * exact candidate set. Engine hashes UTF-16 code units, DuckDB walks code
+    * points — equal on BMP text (all driver corpora). */
+  private lazy val winnowCandCtes: String =
+    s"""hh AS (SELECT doc_id, lang,
+       |  list_transform(generate_series(1, length(text) - 15), i ->
+       |    CAST(list_sum(list_transform(generate_series(0, 15), j ->
+       |      CAST(unicode(substr(text, i + j, 1)) AS HUGEINT) * ($winnowPowersSql)[j + 1]))
+       |     % 2305843009213693951 AS BIGINT)) AS hs
+       |  FROM documents WHERE length(text) >= 16),
+       |wnd AS (
+       |  SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(hs) - 4),
+       |    s2 -> list_min(list_slice(hs, s2, s2 + 4)))) AS fp
+       |  FROM hh WHERE len(hs) > 5
+       |  UNION ALL
+       |  SELECT doc_id, lang, list_min(hs) AS fp FROM hh WHERE len(hs) <= 5),
+       |fps AS (SELECT DISTINCT doc_id, lang, fp FROM wnd),
+       |hot AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) > 200),
+       |kept AS (SELECT * FROM fps WHERE fp NOT IN (SELECT fp FROM hot)),
+       |wcand AS (SELECT DISTINCT x.lang, x.doc_id AS a, y.doc_id AS b
+       |  FROM kept x JOIN kept y ON x.lang = y.lang AND x.fp = y.fp AND x.doc_id < y.doc_id)""".stripMargin
+      .replace("\n", " ")
 
   /** DuckDB cosine between two DOUBLE[] columns, same evaluation shape as
     * [[Similarity.cosine]] (index-ordered products, left-to-right sums). */
@@ -454,6 +537,7 @@ object SparkEntry {
         .withSignature(docsEncoded(t(s, dir, "documents"), cfg), cfg)
         .select(col("doc_id"), posexplode(col("minhash")).as(Seq("perm", "min_val")))
         .withColumn("perm", col("perm").cast("long"))
+        .withColumn("min_val", col("min_val").cast("long"))
     }),
     "q23_lsh_pairs" -> ((s, dir) => {
       // Oracle-equality configuration: 64 bands x 2 rows makes the miss
@@ -509,7 +593,7 @@ object SparkEntry {
     // avg_sim is deliberately not emitted: order-dependent float aggregate.
     "q32_two_key_stats" -> ((s, dir) => {
       val keys = Seq("lang", "source")
-      val p = docPairsBy(t(s, dir, "documents"), 0.5, keys)
+      val p = docPairsBy(t(s, dir, "documents"), 0.5, keys, prefixFilter = false)
         .select(col("lang"), col("source"), col("a"), col("b"), col("sim"))
       val stats = graft.dedup.TopN.groupStats(p, keys)
       stats.select(
@@ -598,6 +682,14 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("lang").as("group"), col("text").as("content")),
         graft.dedup.SuffixDedup.SubConfig(k = 16, window = 5, minMatch = 20)
       )),
+    // q31 in driver-verifiable existence form: pairs sharing a verified
+    // >= 20-char substring, ids only (see the oracle comment for why this is
+    // exactly SQL-expressible while lcs_len itself is not)
+    "q31b_substring_exists" -> ((s, dir) =>
+      graft.dedup.SuffixDedup.run(
+        t(s, dir, "documents").select(col("doc_id"), col("lang").as("group"), col("text").as("content")),
+        graft.dedup.SuffixDedup.SubConfig(k = 16, window = 5, minMatch = 20)
+      ).select(col("group").as("lang"), col("a"), col("b"))),
     "q33_embedding_neardup" -> ((s, dir) =>
       // ids only: the cosine itself is an order-dependent float aggregate.
       // Blocked exact path — same pair set as the brute-force oracle by
@@ -684,24 +776,25 @@ object SparkEntry {
          |LEFT JOIN sz sb ON sb.doc_id = pr.a + 7
          |LEFT JOIN it ON it.a = pr.a""".stripMargin.replace("\n", " "),
     "q31a_winnow_candidates" ->
-      s"""WITH hh AS (SELECT doc_id, lang,
-         |  list_transform(generate_series(1, length(text) - 15), i ->
-         |    CAST(list_sum(list_transform(generate_series(0, 15), j ->
-         |      CAST(unicode(substr(text, i + j, 1)) AS HUGEINT) * ($winnowPowersSql)[j + 1]))
-         |     % 2305843009213693951 AS BIGINT)) AS hs
-         |  FROM documents WHERE length(text) >= 16),
-         |wnd AS (
-         |  SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(hs) - 4),
-         |    s2 -> list_min(list_slice(hs, s2, s2 + 4)))) AS fp
-         |  FROM hh WHERE len(hs) > 5
-         |  UNION ALL
-         |  SELECT doc_id, lang, list_min(hs) AS fp FROM hh WHERE len(hs) <= 5),
-         |fps AS (SELECT DISTINCT doc_id, lang, fp FROM wnd),
-         |hot AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) > 200),
-         |kept AS (SELECT * FROM fps WHERE fp NOT IN (SELECT fp FROM hot))
-         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |FROM kept x JOIN kept y ON x.lang = y.lang AND x.fp = y.fp AND x.doc_id < y.doc_id""".stripMargin
-        .replace("\n", " "),
+      s"WITH $winnowCandCtes SELECT a, b FROM wcand",
+    // q31b: the LAST detector in driver-verified form. Engine side = the full
+    // winnow->verify pipeline (suffix-automaton LCS >= minMatch) projected to
+    // ids; oracle side = the same candidate set filtered by EXISTENCE of a
+    // shared 20-char gram — "LCS >= 20" and "shares a 20-gram" are the same
+    // predicate (any common substring of length >= m contains an m-gram).
+    // Exact lcs_len / containment stay sbt-verified (not ANSI-expressible).
+    "q31b_substring_exists" ->
+      s"""WITH $winnowCandCtes,
+         |grams AS (SELECT doc_id, substr(text, CAST(i AS INT), 20) AS g
+         |  FROM documents, UNNEST(generate_series(1, length(text) - 19)) AS t(i)
+         |  WHERE length(text) >= 20)
+         |SELECT c.lang, c.a, c.b FROM wcand c
+         |WHERE EXISTS (SELECT 1 FROM grams ga JOIN grams gb ON ga.g = gb.g
+         |  WHERE ga.doc_id = c.a AND gb.doc_id = c.b)""".stripMargin.replace("\n", " "),
+    "q27_frame_sample" ->
+      """SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx
+        | FROM documents, UNNEST(generate_series(0, CAST(n_chars AS BIGINT) * 10 // 1000)) AS t(f)
+        | WHERE doc_id % 3 = 2""".stripMargin.replace("\n", " "),
     "q15_dedup_exact" ->
       """SELECT d.doc_id, m.canon FROM documents d JOIN
         | (SELECT text, min(doc_id) AS canon FROM documents GROUP BY text) m
@@ -829,12 +922,12 @@ object SparkEntry {
       s"""WITH nc AS (SELECT greatest(16, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS n
          |  FROM embeddings),
          |cent AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-         |  FROM embeddings WHERE vec_id < (SELECT n FROM nc)),
+         |  FROM embeddings QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT n FROM nc)),
          |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |scores AS (SELECT e.vec_id, cent.cid, ${cosineSql("e.v", "cent.cv")} AS score
          |  FROM e CROSS JOIN cent),
          |pr AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS pr
-         |  FROM scores),
+         |  FROM scores WHERE NOT isnan(score)),
          |assign AS (SELECT vec_id, cid FROM pr WHERE pr = 1),
          |probes AS (SELECT vec_id, cid FROM pr WHERE pr <= 4),
          |cand AS (SELECT p.vec_id, a.vec_id AS neighbor FROM probes p
@@ -843,7 +936,8 @@ object SparkEntry {
          |  FROM cand JOIN e x ON cand.vec_id = x.vec_id JOIN e y ON cand.neighbor = y.vec_id)
          |SELECT vec_id, neighbor, rnk FROM (
          |  SELECT vec_id, neighbor,
-         |   row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor) AS rnk FROM pc)
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor) AS rnk
+         |   FROM pc WHERE NOT isnan(cosine))
          |WHERE rnk <= 3""".stripMargin.replace("\n", " "),
     "q34_case_control" ->
       s"""WITH $prunedTokensCte,

@@ -49,7 +49,12 @@ final case class Config(
     maxBucket: Int = 2000,
     topN: Option[Int] = None,
     substringDedup: Boolean = false,
-    seed: Long = 42L
+    seed: Long = 42L,
+    // vocabularies up to this size encode via the broadcast CompactDict;
+    // beyond it the shuffle-join plan takes over (see Vocabulary.encode).
+    // Exposed as a knob so the bench can force the shuffle path on a corpus
+    // whose vocabulary would normally broadcast, proving the scale path.
+    broadcastMaxVocab: Long = Vocabulary.BroadcastMaxVocab
 ) {
   require(numPerms % bands == 0, s"bands=$bands must divide numPerms=$numPerms")
   def rowsPerBand: Int = numPerms / bands

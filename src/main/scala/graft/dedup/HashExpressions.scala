@@ -52,7 +52,14 @@ object HashKernels {
         }
         t += 1
       }
-      UnsafeArrayData.fromPrimitiveArray(sig)
+      // every value is an exact residue mod 2^31-1, so the signature ships
+      // as array<int> — HALF the bytes of round 3's array<long> through the
+      // signatures checkpoint and the candidates scan; band hashes are
+      // bit-identical because the long values were zero-extended ints
+      val out = new Array[Int](k)
+      var j = 0
+      while (j < k) { out(j) = sig(j).toInt; j += 1 }
+      UnsafeArrayData.fromPrimitiveArray(out)
     }
   }
 
@@ -110,7 +117,9 @@ object HashKernels {
         var i = band * rows
         val end = i + rows
         while (i < end) {
-          h ^= sig.getLong(i)
+          // int signature values are non-negative residues: toLong equals
+          // the round-3 long representation bit-for-bit
+          h ^= sig.getInt(i).toLong
           h *= 0xbf58476d1ce4e5b9L
           h ^= (h >>> 31)
           i += 1
@@ -134,11 +143,12 @@ private[dedup] trait ArrayArgExpression extends UnaryExpression {
     }
 }
 
-/** array<int> token ids -> array<long> MinHash signature. */
+/** array<int> token ids -> array<int> MinHash signature (residues mod
+  * 2^31-1 always fit). */
 case class MinHashSig(child: Expression, numPerms: Int, seed: Long) extends ArrayArgExpression {
   override protected def elementType: DataType = IntegerType
   override protected def name: String = prettyName
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   @transient private lazy val kernel = new HashKernels.MinHashKernel(numPerms, seed)
 
   override def nullSafeEval(t: Any): Any = kernel.signature(t.asInstanceOf[ArrayData])
@@ -170,9 +180,9 @@ case class SimHash64(child: Expression, seed: Long) extends ArrayArgExpression {
   override def prettyName: String = "simhash64"
 }
 
-/** array<long> signature -> array<long> of per-band bucket hashes. */
+/** array<int> signature -> array<long> of per-band bucket hashes. */
 case class BandHashes(child: Expression, bands: Int, rows: Int) extends ArrayArgExpression {
-  override protected def elementType: DataType = LongType
+  override protected def elementType: DataType = IntegerType
   override protected def name: String = prettyName
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   @transient private lazy val kernel = new HashKernels.BandHashKernel(bands, rows)

@@ -60,11 +60,14 @@ object Jaccard {
     // join, so one conjunct = one fewer kernel evaluation per candidate row
     val floor = math.max(minSim, java.lang.Double.MIN_VALUE)
     candidates
-      // shuffle-hash build on the skinny pair side: a sort-merge join here
-      // would sort the wide token-array table twice (once per probe join)
+      // shuffle-hash build on the skinny (a,b) pair side: an SMJ here would
+      // sort the wide token-array table. The SECOND join stays SMJ on
+      // purpose: its only possible build sides both carry token arrays, and
+      // an UnsafeHashedRelation build does not spill — at N tasks each gets
+      // 1/N of the executor pool and a fat build OOMs exactly when the
+      // machine is busiest (observed at the 2.5M-file local[8] leg).
       .hint("shuffle_hash")
       .join(docsA, "a")
-      .hint("shuffle_hash")
       .join(docsB, "b")
       // codegen'd Catalyst expression (no UDF boxing) — see JaccardExpression
       .withColumn("sim", JaccardSorted(col("tokens_a"), col("tokens_b")))
@@ -84,9 +87,9 @@ object Jaccard {
     val docsA = encoded.select(col("doc_id").as("a"), col("group"), col("tokens").as("tokens_a"))
     val docsB = encoded.select(col("doc_id").as("b"), col("tokens").as("tokens_b"))
     candidates
+      // first join SHJ (skinny pair build), second SMJ — see verify()
       .hint("shuffle_hash")
       .join(docsA, "a")
-      .hint("shuffle_hash")
       .join(docsB, "b")
       // codegen'd Catalyst expression, no per-element boxing (JaccardExpression)
       .withColumn("inter_cnt", IntersectCountSorted(col("tokens_a"), col("tokens_b")).cast("long"))

@@ -123,6 +123,9 @@ object IntersectCountSorted {
 object CosineKernel {
   def cos(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
+    // UnsafeArrayData.getFloat does no bounds checking — a shorter right
+    // side would read garbage Tungsten memory instead of failing (ADVICE)
+    if (b.numElements() != n) return Double.NaN
     var dot = 0.0
     var na = 0.0
     var nb = 0.0

@@ -148,7 +148,7 @@ object Pipeline {
     val encoded = Checkpoints.stage(spark, "encoded", p("encoded"), Seq("group"), Seq(p("docs"), p("vocab")))(
       // vocab size from the metrics sidecar picks the encode plan
       // (broadcast map vs shuffle join) without an extra count job
-      Vocabulary.encode(docs, vocab, Some(Checkpoints.stageRowCount(spark, p("vocab"))))
+      Vocabulary.encode(docs, vocab, Some(Checkpoints.stageRowCount(spark, p("vocab"))), cfg.broadcastMaxVocab)
     )
 
     // Only docs that survived pruning take part in classes / signatures.

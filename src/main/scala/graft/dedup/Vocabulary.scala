@@ -80,9 +80,14 @@ object Vocabulary {
     * `vocabRows` lets callers pass a known count (e.g. from the checkpoint
     * metrics sidecar) to skip the count job.
     */
-  def encode(docs: DataFrame, vocab: DataFrame, vocabRows: Option[Long] = None): DataFrame = {
+  def encode(
+      docs: DataFrame,
+      vocab: DataFrame,
+      vocabRows: Option[Long] = None,
+      maxBroadcast: Long = BroadcastMaxVocab
+  ): DataFrame = {
     val n = vocabRows.getOrElse(vocab.count())
-    if (n <= BroadcastMaxVocab) encodeBroadcast(docs, vocab) else encodeJoin(docs, vocab)
+    if (n <= maxBroadcast) encodeBroadcast(docs, vocab) else encodeJoin(docs, vocab)
   }
 
   /** Shuffle-join encode path (any vocabulary size). */

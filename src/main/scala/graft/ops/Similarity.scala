@@ -354,6 +354,10 @@ object Similarity {
     val ranked = embeddings
       .select(col("vec_id"), col("embedding"), probesUdf(col("embedding")).as("probes"))
       .filter(size(col("probes")) > 0)
+      // consumed twice (assignment + probes) inside the returned lazy plan;
+      // like docsEncodedCached this assumes a one-shot session (bench /
+      // verify runs) — a long-lived service would unpersist after
+      // materializing the consumer
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val assignment = ranked.select(
       col("vec_id"),
@@ -386,12 +390,15 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** The deterministic coarse centroids: embeddings of the `n` lowest
-    * vec_ids, as doubles (public so the SQL oracle can embed them). */
+  /** The deterministic coarse centroids: embeddings of the `n` LOWEST
+    * vec_ids, as doubles (public so the SQL oracle can embed them).
+    * orderBy + limit, not `vec_id < n` — with sparse or non-zero-based ids
+    * the filter form silently under-collects (ADVICE round 3). */
   def centroids(embeddings: DataFrame, n: Int): Array[(Long, Array[Double])] =
     embeddings
       .select(col("vec_id").cast("long"), col("embedding"))
-      .filter(col("vec_id") < n)
+      .orderBy(col("vec_id"))
+      .limit(n)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
       .sortBy(_._1)

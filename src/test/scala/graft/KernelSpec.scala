@@ -195,7 +195,7 @@ class KernelSpec extends SparkSpec {
       val wantSig = MinHash.signatureScala(t, as, bs)
       val wantSim = SimHash.simhash64(t, cfg.seed)
       val wantBands = Array.tabulate(cfg.bands)(b => MinHash.bandHashScala(wantSig, b, cfg.rowsPerBand))
-      assert(row.getAs[collection.Seq[Long]]("mh").toSeq == wantSig.toSeq)
+      assert(row.getAs[collection.Seq[Int]]("mh").toSeq.map(_.toLong) == wantSig.toSeq)
       assert(row.getAs[Long]("sh") == wantSim)
       assert(row.getAs[collection.Seq[Long]]("bh").toSeq == wantBands.toSeq)
     }

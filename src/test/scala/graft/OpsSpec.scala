@@ -172,6 +172,51 @@ class OpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("positional PPJoin at t=0.2 (q16 3-gram path) equals a naive oracle — low-threshold guard") {
+    // at t=0.2 the plain prefix keeps ~80% of each doc's grams and prunes
+    // nothing; correctness there rests on the POSITIONAL bound, so this
+    // oracle-equality check specifically guards that filter at the exact
+    // threshold where round 3's filter was a no-op
+    val rnd = new scala.util.Random(1717)
+    val pool = Vector("code", "data", "spark", "query", "join", "hash", "scan", "sort", "read", "write")
+    val docsLocal = (0L until 90L).map { i =>
+      val base = Seq.fill(6 + rnd.nextInt(8))(pool(rnd.nextInt(pool.size)))
+      val words = if (i % 3 == 0 && i > 0) {
+        // splice a shared phrase so mid-similarity pairs exist around 0.2
+        val donor = Seq.fill(5)(pool(((i / 3) % pool.size).toInt))
+        base.take(3) ++ donor ++ base.drop(3)
+      } else base
+      (i, if (i % 2 == 0) "aa" else "bb", words.mkString(" "))
+    }
+    val dir = tmpDir("graft-ppjoin02")
+    docsLocal.toDF("doc_id", "lang", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // naive oracle: distinct 3-grams of the lowercase word sequence, jaccard
+    // >= 0.2 within lang (no df prune on the gram universe — q16 semantics)
+    val wordRe = "[a-z0-9]+".r
+    val gsets = docsLocal.map { case (id, lang, text) =>
+      val ws = wordRe.findAllIn(text.toLowerCase).toVector
+      (id, lang, ws.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet)
+    }.filter(_._3.nonEmpty)
+    val want = (for {
+      (a, la, ta) <- gsets
+      (b, lb, tb) <- gsets
+      if a < b && la == lb
+      inter = (ta & tb).size
+      if inter > 0
+      union = ta.size + tb.size - inter
+      if inter.toDouble / union >= 0.2
+    } yield (la, a, b, inter.toDouble / union)).toSet
+
+    val got = SparkEntry
+      .queries("q16_ngram_jaccard")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(want.nonEmpty, "fixture produced no oracle pairs at t=0.2")
+    assert(got == want)
+  }
+
   test("q30 pair-probe records probes with no surviving tokens as missing (sim NULL)") {
     // doc 7's tokens are all df=1 -> the min-df prune empties it -> the
     // (0, 7) probe pair must surface with sim NULL and missing=1, not drop

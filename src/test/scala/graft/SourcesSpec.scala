@@ -64,6 +64,31 @@ class SourcesSpec extends SparkSpec {
     assert(both.toSet == want, s"mixed-dir read: ${both.toSeq}")
   }
 
+  test("S2 at scale: a 1000-file mixed directory plans ONE scan per shape, not a 1000-way union") {
+    import java.nio.file.{Files, Paths}
+    val dir = tmpDir("graft-sniff-1k")
+    (0 until 500).foreach { i =>
+      Files.write(
+        Paths.get(f"$dir%s/h$i%03d.csv"),
+        s"year,extra,pnr,title\n${2000 + i},x,CNH$i,alphaH$i\n".getBytes("UTF-8")
+      )
+      Files.write(
+        Paths.get(f"$dir%s/p$i%03d.csv"),
+        s"CNP$i,alphaP$i,${3000 + i},junk\n".getBytes("UTF-8")
+      )
+    }
+    val df = graft.sources.Sources.readDelimited(spark, dir, Seq("pnr", "title", "year"))
+    // two shapes (one shared header line + one positional arity) -> two scans
+    val leaves = df.queryExecution.analyzed.collectLeaves().length
+    assert(leaves <= 2, s"plan has $leaves relation leaves — grouping by sniff outcome failed")
+    val rows = df.as[(String, String, String)].collect()
+    assert(rows.length == 1000)
+    assert(rows.count(_._1.startsWith("CNH")) == 500)
+    assert(rows.count(_._1.startsWith("CNP")) == 500)
+    assert(rows.contains(("CNH7", "alphaH7", "2007")))
+    assert(rows.contains(("CNP7", "alphaP7", "3007")))
+  }
+
   test("sidecar heal: a committed stage missing its metrics gets them rebuilt on resume") {
     val work = tmpDir("graft-heal")
     val rows = (1L to 20L).map(i => (i, s"v$i")).toDF("k", "v")
