@@ -58,6 +58,10 @@ object Bench {
       // task-side output commit (v2): job commit is O(1) instead of a
       // driver-serial rename per task output — another fixed cost removed
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      // static (JVM-wide, pinned by the FIRST session): the default 100-entry
+      // codegen class cache thrashes across a leg's ~60+ generated classes,
+      // re-paying janino compiles in every leg — pure serial driver cost
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
     localDir.foreach(d => b.config("spark.local.dir", d))
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -107,7 +111,10 @@ object Bench {
       val ck = tables.pairs
         .agg(
           count(lit(1)).as("n"),
-          coalesce(sum(xxhash64(col("group"), col("a"), col("b"), col("sim"))), lit(0L)).as("ck")
+          // bit_xor, not sum: order-independent, cannot overflow (ANSI mode
+          // aborts an overflowing long sum), and rows are distinct by
+          // (group, a, b) so xor cancellation cannot hide differences
+          coalesce(expr("bit_xor(xxhash64(group, a, b, sim))"), lit(0L)).as("ck")
         )
         .head()
       val bandRows = graft.dedup.MinHash.bandRows(tables.signatures, cfg)
@@ -120,11 +127,9 @@ object Bench {
         .filter(col("count") > cfg.maxBucket)
         .agg(
           count(lit(1)).as("buckets"),
+          // `div` (integer division): `/` would widen to double
           coalesce(
-            sum(
-              col("count") * (col("count") - 1) / 2 -
-                (lit(w) * col("count") - lit(w * (w + 1) / 2))
-            ),
+            sum(expr(s"(count * (count - 1)) div 2 - ($w * count - ${w * (w + 1) / 2})")),
             lit(0L)
           ).as("dropped")
         )

@@ -34,10 +34,19 @@ object Ids {
 
   /** Unpersist (non-blocking) every cache created by [[assignDense]] /
     * [[assignDenseByKey]] since the last release. Call after the consuming
-    * plan is materialized. */
+    * plan is materialized. The queue is JVM-global while sessions come and
+    * go (bench legs, tests): entries whose session has already stopped are
+    * simply discarded — their blocks died with the session's BlockManager,
+    * and unpersist on a stopped context NPEs. */
   def releaseCaches(): Unit = {
     var d = live.poll()
-    while (d != null) { d.unpersist(blocking = false); d = live.poll() }
+    while (d != null) {
+      if (!d.sparkSession.sparkContext.isStopped) {
+        try d.unpersist(blocking = false)
+        catch { case _: Exception => () } // racing a concurrent session stop
+      }
+      d = live.poll()
+    }
   }
 
   /** Direct stamp: `df`'s rows must be UNIQUE by `sortCols` (vocabulary

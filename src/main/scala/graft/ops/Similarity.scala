@@ -301,12 +301,15 @@ object Similarity {
       k: Int,
       nCentroids: Int = 0, // 0 = adaptive: max(16, ceil(sqrt(n))) — the
       // classic IVF sizing that keeps probe-list volume ~ n^1.5 * nProbe
-      nProbe: Int = 4
+      nProbe: Int = 4,
+      refineIters: Int = 0 // k-means refinement passes over the quantizer;
+      // 0 keeps the pure-function-of-input contract the q36 oracle needs
   ): DataFrame = {
     val nc =
       if (nCentroids > 0) nCentroids
       else math.max(16, math.ceil(math.sqrt(embeddings.count().toDouble)).toInt)
-    val cents: Array[(Long, Array[Double])] = centroids(embeddings, nc)
+    val cents: Array[(Long, Array[Double])] =
+      refineCentroids(embeddings, centroids(embeddings, nc), refineIters)
     val spark = embeddings.sparkSession
     val bCents = spark.sparkContext.broadcast(cents)
     val np = nProbe
@@ -388,6 +391,68 @@ object Similarity {
         row_number().over(Window.partitionBy(col("vec_id")).orderBy(desc("cosine"), asc("neighbor")))
       )
       .filter(col("rank") <= k)
+  }
+
+  /** Lloyd k-means refinement of the coarse quantizer: assign every vector
+    * to its nearest current centroid by cosine (broadcast matrix, one
+    * narrow pass), recompute each centroid as its cluster's per-dimension
+    * mean (distributed posexplode + avg — no driver pass over the corpus),
+    * repeat. Centroid ids keep their slot; a cluster that loses all members
+    * keeps its previous centroid (classic empty-cluster rule). The
+    * per-dimension mean is a float aggregate whose summation order Spark
+    * does not fix, so REFINED quantizers trade bitwise run-to-run
+    * determinism for tighter lists — which is why the oracle-checked q36
+    * path runs refineIters=0 and the refinement sits behind the flag
+    * (recall-vs-exact measured in OpsSpec). */
+  def refineCentroids(
+      embeddings: DataFrame,
+      initial: Array[(Long, Array[Double])],
+      iters: Int
+  ): Array[(Long, Array[Double])] = {
+    if (iters <= 0 || initial.isEmpty) return initial
+    val spark = embeddings.sparkSession
+    var cents = initial
+    var it = 0
+    while (it < iters) {
+      val bCents = spark.sparkContext.broadcast(cents)
+      val nearestUdf = udf { (emb: Seq[Float]) =>
+        val cs = bCents.value
+        var best = -1L
+        var bestScore = Double.NegativeInfinity
+        var j = 0
+        while (j < cs.length) {
+          val c = cs(j)._2
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var i = 0
+          while (i < c.length) {
+            val x = emb(i).toDouble; val y = c(i)
+            dot += x * y; na += x * x; nb += y * y
+            i += 1
+          }
+          val s = dot / (math.sqrt(na) * math.sqrt(nb))
+          if (s == s && s > bestScore) { bestScore = s; best = cs(j)._1 }
+          j += 1
+        }
+        best
+      }
+      val means = embeddings
+        .select(nearestUdf(col("embedding")).as("cid"), col("embedding"))
+        .filter(col("cid") >= 0)
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(avg(col("v")).as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          val dim = rows.length
+          val arr = new Array[Double](dim)
+          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+          cid -> arr
+        }
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+      it += 1
+    }
+    cents
   }
 
   /** The deterministic coarse centroids: embeddings of the `n` LOWEST
