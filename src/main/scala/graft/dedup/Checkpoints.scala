@@ -73,7 +73,13 @@ object Checkpoints {
     if (!exists(spark, path)) {
       val t0 = System.nanoTime()
       val df = build
-      val writer = df.write.mode("overwrite")
+      // zstd, not snappy: token-array columns routinely overflow parquet's
+      // 1MB dictionary page (a stage-output file can see most of the token
+      // universe once AQE coalesces partitions) and fall back to PLAIN,
+      // where snappy leaves ~60% of the redundancy on disk; zstd finds the
+      // repeated token strings without any dictionary-size coupling, at
+      // negligible codec cost next to the scan itself
+      val writer = df.write.mode("overwrite").option("compression", "zstd")
       (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
         .parquet(path)
       val wallMs = (System.nanoTime() - t0) / 1000000

@@ -72,7 +72,18 @@ object Ids {
       idCol: String,
       dropDuplicateKeys: Boolean = false
   ): DataFrame = {
-    val base = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The payload's ONE shuffle hash-partitions on the FIRST key only
+    // (repo, for the corpus). A subset of the join/agg keys satisfies their
+    // clustering requirement (equal full keys share the prefix), so the
+    // downstream key-count aggregate, the optional dedup, and the id join
+    // all reuse this exchange — and the output keeps same-prefix rows in
+    // one partition, which is what lets parquet dictionary-encode the
+    // token arrays (hash-on-full-key scattered every repo across every
+    // file and wrote a 60% larger docs table). Prefix skew (a mega-repo)
+    // is AQE's skew-join case, and the skew splits preserve adjacency.
+    val base = df
+      .repartition(col(sortCols.head))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     live.add(base)
     val keyCnt = base.groupBy(sortCols.map(col): _*).agg(count(lit(1)).as("__cnt"))
     val keyIds = stampDense(keyCnt, sortCols, idCol)
@@ -81,6 +92,7 @@ object Ids {
     val deduped = if (hasDups) base.dropDuplicates(sortCols) else base
     val right = keyIds
       .select(sortCols.map(c => col(c).as(s"__k_$c")) :+ col(idCol): _*)
+      .repartition(col(s"__k_${sortCols.head}"))
       // build-side hint: the ids table is the small side; without it a
       // sort-merge join would re-sort the wide payload
       .hint("shuffle_hash")
@@ -105,13 +117,18 @@ object Ids {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     live.add(sorted)
 
-    // count via the InternalRow iterator — no per-row object conversion
-    val counts: Array[(Int, Long)] = sorted.queryExecution.toRdd
+    // per-partition counts over the CACHED sorted copy. Dataset.mapPartitions,
+    // not queryExecution.toRdd: a Dataset action plans through the cache
+    // manager and scans the InMemoryRelation, while toRdd on a fresh
+    // QueryExecution re-executed the whole upstream lineage — profiled as a
+    // +70% vocab-stage wall in the round-4 bench before this fix.
+    import org.apache.spark.sql.Encoders.{scalaInt, scalaLong, tuple}
+    val counts: Array[(Int, Long)] = sorted
       .mapPartitions { it =>
         var n = 0L
         while (it.hasNext) { it.next(); n += 1 }
         Iterator.single((TaskContext.getPartitionId(), n))
-      }
+      }(tuple(scalaInt, scalaLong))
       .collect()
       .sortBy(_._1)
 
