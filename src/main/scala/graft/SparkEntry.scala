@@ -74,9 +74,13 @@ object SparkEntry {
       prefixFilter: Boolean = true
   ): DataFrame = {
     val kc = keys.map(col)
+    // persisted: the regex tokenizer is the expensive part of this family
+    // and the exploded token table is consumed three times (df aggregate,
+    // rank-input materialization, set-build join) — uncached it re-runs the
+    // tokenizer per consumer. One-shot-session assumption as elsewhere.
     val tok = docs.select(
       (col("doc_id") +: kc) :+ explode(Tokenize.tokenSet(col("text"))).as("token"): _*
-    )
+    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val voc = tok.groupBy("token").agg(count(lit(1)).as("df")).filter(col("df") >= 2)
     if (prefixFilter) pairsWithPrefixFilter(tok, voc, "token", minSim, keys)
     else pairsPlain(tok, voc, "token", minSim, keys)
@@ -154,9 +158,20 @@ object SparkEntry {
     // reach distinct+verify. The epsilon keeps an exact-integer alpha from
     // rounding UP on binary error (which would drop true pairs at the
     // boundary); rounding DOWN only admits candidates verify discards.
-    val pref = sets.select(
-      kc ++ Seq(col("doc_id"), col("n"), posexplode(slice(col("ts"), lit(1), prefLen)).as(Seq("p", "eid"))): _*
-    )
+    // SINGLETON elision: under the rare-first ranking, df=1 elements occupy
+    // exactly the id range [0, nSingletons) — and a df=1 element can never
+    // match in the self-join (no second doc holds it). Dropping those ids
+    // from the JOIN input (sets, sizes and positions keep the full arrays,
+    // so sims are untouched) removes most of the exchange volume when the
+    // element universe is unpruned (q16's 3-gram space is singleton-
+    // dominated); for min-df-pruned callers nSingletons = 0 and this is a
+    // no-op. One tiny job over the cached skinny ranking.
+    val nSingletons = ranked.filter(col("df") < 2).count()
+    val pref = sets
+      .select(
+        kc ++ Seq(col("doc_id"), col("n"), posexplode(slice(col("ts"), lit(1), prefLen)).as(Seq("p", "eid"))): _*
+      )
+      .filter(col("eid") >= nSingletons)
     val alpha = ceil(lit(minSim) / (lit(1.0) + lit(minSim)) * (col("na") + col("nb")) - lit(1e-9))
     val cand = pref
       .select(kc ++ Seq(col("eid"), col("doc_id").as("a"), col("n").as("na"), col("p").as("pa")): _*)
@@ -493,12 +508,14 @@ object SparkEntry {
       // as the token pairs (no min-df prune on grams — df >= 1).
       val d = t(s, dir, "documents")
       val ws = TextAnalysis.words(col("text"))
+      // persisted: the regex word split + shingle transform dominates this
+      // query and the gram table is consumed three times (see docPairsBy)
       val grams = d
         .select(
           col("doc_id"),
           col("lang"),
           explode(array_distinct(Tokenize.shingles(ws, 3))).as("gram")
-        )
+        ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val gdf = grams.groupBy("gram").agg(count(lit(1)).as("df"))
       pairsWithPrefixFilter(grams, gdf, "gram", 0.2, Seq("lang"))
         .select("lang", "a", "b", "sim")

@@ -80,6 +80,11 @@ object Checkpoints {
       // repeated token strings without any dictionary-size coupling, at
       // negligible codec cost next to the scan itself
       val writer = df.write.mode("overwrite").option("compression", "zstd")
+        // keep parquet DICTIONARY encoding alive for the token-array
+        // columns: a stage-output file can see a large slice of the token
+        // universe, and the default 1MB dictionary-page cap silently falls
+        // back to PLAIN — 3x the decoded bytes on every downstream scan
+        .option("parquet.dictionary.page.size", (64 * 1024 * 1024).toString)
       (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
         .parquet(path)
       val wallMs = (System.nanoTime() - t0) / 1000000
