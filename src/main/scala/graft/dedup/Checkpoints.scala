@@ -79,12 +79,13 @@ object Checkpoints {
       // where snappy leaves ~60% of the redundancy on disk; zstd finds the
       // repeated token strings without any dictionary-size coupling, at
       // negligible codec cost next to the scan itself
+      // zstd (not snappy), DEFAULT dictionary budget: token-array columns
+      // overflow parquet's 1MB dictionary page and fall back to PLAIN, and
+      // zstd recovers that redundancy at codec level. Raising the dictionary
+      // cap instead was measured SLOWER end-to-end (64MB write-side
+      // dictionaries cost more than PLAIN+zstd saves — official-methodology
+      // legs regressed ~8-12%), so the fallback is the intended plan.
       val writer = df.write.mode("overwrite").option("compression", "zstd")
-        // keep parquet DICTIONARY encoding alive for the token-array
-        // columns: a stage-output file can see a large slice of the token
-        // universe, and the default 1MB dictionary-page cap silently falls
-        // back to PLAIN — 3x the decoded bytes on every downstream scan
-        .option("parquet.dictionary.page.size", (64 * 1024 * 1024).toString)
       (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
         .parquet(path)
       val wallMs = (System.nanoTime() - t0) / 1000000
