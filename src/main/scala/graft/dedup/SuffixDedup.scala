@@ -206,8 +206,13 @@ object SuffixDedup {
   def candidatePairs(docs: DataFrame, cfg: SubConfig = SubConfig()): DataFrame = {
     val k = cfg.k; val w = cfg.window
     val fpUdf = udf((content: String) => fingerprints(content, k, w))
+    // persisted: the rolling-hash + winnow UDF dominates candidate cost and
+    // the fingerprint table is consumed twice (df cap aggregate + anti
+    // join); Spark's cache manager also shares this plan across the q31
+    // family in one session (one-shot-session assumption as elsewhere)
     val fps = docs
       .select(col("doc_id"), col("group"), explode(fpUdf(col("content"))).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // boilerplate cap: drop fingerprints shared by too many docs
     val common = fps.groupBy("fp").agg(count(lit(1)).as("df")).filter(col("df") > cfg.maxFpDf)
