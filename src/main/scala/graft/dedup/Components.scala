@@ -19,6 +19,69 @@ import org.apache.spark.storage.StorageLevel
   * without it the plan doubles every iteration and the driver OOMs on plan
   * size long before data size matters.
   */
+/** Boxing-free union-find over sparse long node ids: open-addressed
+  * long->long parent table (linear probing, grow at 1/2 load; absent key =
+  * self-parent), path-halving find, union-by-MIN so the component root is
+  * always its minimum id — the cluster-id contract the suite asserts.
+  * Node ids are non-negative (dense doc ids), so Long.MinValue is a safe
+  * empty-slot sentinel. */
+private[dedup] final class LongUnionFind(expectedNodes: Int) {
+  private var cap = java.lang.Integer.highestOneBit(math.max(32, expectedNodes * 2) - 1) << 1
+  private var keys = Array.fill(cap)(Long.MinValue)
+  private var vals = new Array[Long](cap)
+  private var size = 0
+
+  private def slot(k: Long): Int = {
+    val h = k * -7046029254386353131L
+    ((h ^ (h >>> 32)).toInt) & (cap - 1)
+  }
+
+  private def parentOf(k: Long): Long = {
+    var i = slot(k)
+    while (keys(i) != Long.MinValue) {
+      if (keys(i) == k) return vals(i)
+      i = (i + 1) & (cap - 1)
+    }
+    k // absent = self-parent
+  }
+
+  private def setParent(k: Long, v: Long): Unit = {
+    var i = slot(k)
+    while (keys(i) != Long.MinValue && keys(i) != k) i = (i + 1) & (cap - 1)
+    if (keys(i) == Long.MinValue) {
+      if ((size + 1) * 2 > cap) { grow(); setParent(k, v); return }
+      keys(i) = k
+      size += 1
+    }
+    vals(i) = v
+  }
+
+  private def grow(): Unit = {
+    val ok = keys; val ov = vals
+    cap <<= 1
+    keys = Array.fill(cap)(Long.MinValue)
+    vals = new Array[Long](cap)
+    size = 0
+    var i = 0
+    while (i < ok.length) { if (ok(i) != Long.MinValue) setParent(ok(i), ov(i)); i += 1 }
+  }
+
+  def find(x: Long): Long = {
+    var r = x
+    var p = parentOf(r)
+    while (p != r) { r = p; p = parentOf(r) }
+    // path compression to the root
+    var c = x
+    while (c != r) { val nxt = parentOf(c); setParent(c, r); c = nxt }
+    r
+  }
+
+  def union(a: Long, b: Long): Unit = {
+    val ra = find(a); val rb = find(b)
+    if (ra != rb) { if (ra < rb) setParent(rb, ra) else setParent(ra, rb) }
+  }
+}
+
 object Components {
 
   val MaxIterations = 50
@@ -80,35 +143,46 @@ object Components {
     val nEdges = edges.count() // materializes the cache; path decision
 
     if (nEdges <= driverLocalMaxEdges) {
-      val collected = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      // primitive arrays end to end: the round-3 HashMap[Long, Long] spent
+      // most of this path's wall boxing — this is SERIAL driver time that
+      // lands identically in every scaling leg, the exact cost class the
+      // efficiency gate punishes
+      val n = nEdges.toInt
+      val srcs = new Array[Long](n)
+      val dsts = new Array[Long](n)
+      val rows = edges.collect() // one job; rows are transient, arrays stay
+      var i = 0
+      while (i < n) { val r = rows(i); srcs(i) = r.getLong(0); dsts(i) = r.getLong(1); i += 1 }
       edges.unpersist()
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
+      val uf = new LongUnionFind(n * 2)
+      i = 0
+      while (i < n) { uf.union(srcs(i), dsts(i)); i += 1 }
+      // distinct nodes via primitive sort + adjacent-skip (no boxing)
+      val nodes = new Array[Long](2 * n)
+      System.arraycopy(srcs, 0, nodes, 0, n)
+      System.arraycopy(dsts, 0, nodes, n, n)
+      java.util.Arrays.sort(nodes)
+      val assignments = Array.newBuilder[(Long, Long)]
+      assignments.sizeHint(2 * n)
+      i = 0
+      while (i < nodes.length) {
+        if (i == 0 || nodes(i) != nodes(i - 1)) assignments += ((nodes(i), uf.find(nodes(i))))
+        i += 1
       }
-      collected.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-      }
-      val nodes = collected.flatMap(e => Seq(e._1, e._2)).distinct
+      val out = assignments.result()
       val spark0 = pairs.sparkSession
       import spark0.implicits._
       // parallelize with explicit slicing, NOT toDF: a LocalRelation ships
       // the whole node->cluster map inside one task (round 1 logged 12 MB
       // tasks); ParallelCollectionRDD serializes only each task's slice.
-      val assignments = nodes.map(n => (n, find(n)))
       // ~20k rows/slice keeps serialized task size well under Spark's
       // 1000 KiB advisory (50k sliced at ~1.2 MB and warned every bench run)
       val slices = math.max(
         spark0.sparkContext.defaultParallelism,
-        (assignments.length / 20000) + 1
+        (out.length / 20000) + 1
       )
       return spark0.sparkContext
-        .parallelize(assignments.toIndexedSeq, slices)
+        .parallelize(out.toIndexedSeq, slices)
         .toDF("doc_id", "cluster_id")
     }
 
