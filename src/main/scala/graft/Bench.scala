@@ -185,26 +185,48 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val skipPipeline = sys.env.get("SPARK_GRAFT_BENCH_SKIP_PIPELINE").contains("1")
 
-    // part 1: operator queries at the harness parallelism
+    // part 1: operator queries at the harness parallelism. The whole suite
+    // runs SPARK_GRAFT_BENCH_QUERY_REPS times (default 3) with every cache
+    // (per-query transients, memoized cross-query chains, InMemoryRelations)
+    // cleared between reps, so each rep pays the full cost; per-query time
+    // is the MEDIAN across reps with [min, max] spread reported alongside —
+    // round 4's single-shot numbers swung 6↔12 s on one query (q16) and
+    // 78 vs 99 s on the same-code suite, which misled optimization targets.
+    val qreps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_REPS", "3").toInt)
     val spark = session(cpus, None)
-    val results: Seq[(String, Double, Boolean)] =
-      SparkEntry.queries.toSeq.sortBy(_._1)
-        .filter { case (name, _) => only.forall(_.contains(name)) }
-        .map { case (name, fn) =>
-          val t0 = System.nanoTime()
-          val ok =
-            try { fn(spark, sfDir).count(); true }
-            catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); false }
-          (name, (System.nanoTime() - t0) / 1e9, ok)
-        }
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val repRuns: Seq[Seq[(String, Double, Boolean)]] = (1 to qreps).map { _ =>
+      val res = named.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); false }
+        val secs = (System.nanoTime() - t0) / 1e9
+        // per-query scaffolding caches must not compete with the next query
+        SparkEntry.releaseTransientCaches()
+        (name, secs, ok)
+      }
+      SparkEntry.releaseSharedCaches()
+      spark.catalog.clearCache()
+      res
+    }
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
+    // (name, median, allOk, min, max) in name order
+    val results: Seq[(String, Double, Boolean, Double, Double)] = named.map(_._1).map { name =>
+      val per = repRuns.map(_.find(_._1 == name).get)
+      val times = per.map(_._2)
+      (name, median(times), per.forall(_._3), times.min, times.max)
+    }
     val failed = results.filter(!_._3).map(_._1)
 
     if (skipPipeline) {
-      results.foreach { case (k, v, ok) => println(f"[bench-dev] $k $v%.2f s ${if (ok) "ok" else "FAILED"}") }
-      println(f"[bench-dev] total ${results.map(_._2).sum}%.2f s")
+      results.foreach { case (k, med, ok, lo, hi) =>
+        println(f"[bench-dev] $k $med%.2f s [$lo%.2f, $hi%.2f] ${if (ok) "ok" else "FAILED"}")
+      }
+      println(f"[bench-dev] total (sum of medians) ${results.map(_._2).sum}%.2f s")
       return
     }
 
@@ -252,7 +274,10 @@ object Bench {
     }
 
     val okResults = results.filter(_._3)
-    val qJson = okResults.map { case (k, v, _) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val qJson = okResults.map { case (k, v, _, _, _) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val qSpreadJson = okResults
+      .map { case (k, _, _, lo, hi) => f""""$k":[$lo%.3f,$hi%.3f]""" }
+      .mkString("{", ",", "}")
     val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
     val legsJson = legs.map { case (c, s) => f"""[$c,$s%.2f]""" }.mkString("[", ",", "]")
     val total = okResults.map(_._2).sum
@@ -262,7 +287,7 @@ object Bench {
         100.0 * m.chainDroppedPairs / (m.candidateRows + m.chainDroppedPairs)
       else 0.0
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"failed":$failedJson,"sf":"$sfDir","pipeline_files":$nFiles,"legs":$legsJson,"files_per_sec_2":$thr2%.1f,"files_per_sec_8":$thr8%.1f,"scaling_efficiency":$efficiency%.3f,"files_per_sec_8_shuffle_encode":$thrJoin%.1f,"encode_paths_pairs_match":$encodeMatch,"oversized_buckets":${m.oversizedBuckets},"chain_dropped_raw_pairs":${m.chainDroppedPairs},"chain_dropped_pct_of_raw":$dropPct%.3f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"query_reps":$qreps,"queries_spread":$qSpreadJson,"failed":$failedJson,"sf":"$sfDir","pipeline_files":$nFiles,"legs":$legsJson,"files_per_sec_2":$thr2%.1f,"files_per_sec_8":$thr8%.1f,"scaling_efficiency":$efficiency%.3f,"files_per_sec_8_shuffle_encode":$thrJoin%.1f,"encode_paths_pairs_match":$encodeMatch,"oversized_buckets":${m.oversizedBuckets},"chain_dropped_raw_pairs":${m.chainDroppedPairs},"chain_dropped_pct_of_raw":$dropPct%.3f}"""
     )
 
     val stageNames = (stages2.keySet ++ stages8.keySet).toSeq
@@ -279,14 +304,16 @@ object Bench {
       .map { case ((c, s), i) => f"| ${i + 1} | local[$c] | $s%.1f |" }
       .mkString("\n#")
     val queryRows = results
-      .map { case (k, v, ok) => f"| $k | $v%.2f | ${if (ok) "ok" else "FAILED"} |" }
+      .map { case (k, med, ok, lo, hi) =>
+        f"| $k | $med%.2f | $lo%.2f | $hi%.2f | ${if (ok) "ok" else "FAILED"} |"
+      }
       .mkString("\n#")
     val md =
       f"""## BENCH results
          #
          #| metric | value |
          #|---|---|
-         #| operator-suite total (s) @ local[$cpus], $sfDir | $total%.1f |
+         #| operator-suite total (sum of per-query medians over $qreps reps, s) @ local[$cpus], $sfDir | $total%.1f |
          #| failed queries | ${if (failed.isEmpty) "none" else failed.mkString(", ")} |
          #| pipeline corpus size (files) | $nFiles |
          #| pipeline throughput @ local[2] (files/sec, median of ${legs.count(_._1 == 2)}) | $thr2%.1f |
@@ -330,10 +357,11 @@ object Bench {
          #|---|---|---|---|
          #$stageRows
          #
-         #Per-query seconds @ local[$cpus]:
+         #Per-query seconds @ local[$cpus] — median over $qreps full-suite reps
+         #(all caches cleared between reps), with the raw [min, max] spread:
          #
-         #| query | s | status |
-         #|---|---|---|
+         #| query | median s | min | max | status |
+         #|---|---|---|---|---|
          #$queryRows
          #""".stripMargin('#')
     Files.createDirectories(Paths.get("BENCH"))

@@ -1,6 +1,8 @@
 package graft
 
-import graft.dedup.{Components, Config, Ids, IntersectCountSorted, Jaccard, MinHash, SimHash, Stopwords, Tokenize, Vocabulary}
+import scala.collection.concurrent.TrieMap
+
+import graft.dedup.{CacheRegistry, Components, Config, Ids, IntersectCountSorted, Jaccard, MinHash, SimHash, Stopwords, Tokenize, Vocabulary}
 import graft.ops.{Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -19,6 +21,52 @@ import org.apache.spark.sql.functions._
   *    are never emitted — only the ranks derived from them.
   */
 object SparkEntry {
+
+  // ---- cache lifetime management for multi-query driver sessions ----
+  //
+  // TRANSIENT caches: per-query scaffolding (tokenizer output, per-doc set
+  // tables, id-assignment copies). The driver mains (Bench, Verify) call
+  // releaseTransientCaches() after materializing each query, so query k's
+  // caches never compete with query k+1's memory — the round-4 bench session
+  // accumulated ~10 MEMORY_AND_DISK tables across its 37 queries.
+  //
+  // SHARED caches: memoized cross-query intermediates (the encoded corpus,
+  // the LSH-verified pair table, the exact pair table) that the q13/q14/
+  // q34/q35 and q23/q24/q25 families would otherwise rebuild per query —
+  // the round-4 q25 regression was exactly this chain re-running. Keyed by
+  // (session, dir); released between bench reps / at suite end.
+  private val transientReg = new CacheRegistry
+  private val sharedReg = new CacheRegistry
+  private val encMemo = TrieMap.empty[(SparkSession, String), DataFrame]
+  private val lshPairsMemo = TrieMap.empty[(SparkSession, String), DataFrame]
+  private val exactPairsMemo = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Unpersist per-query scaffolding caches. Call after each query's action. */
+  def releaseTransientCaches(): Unit = transientReg.release()
+
+  /** Unpersist + forget the memoized cross-query intermediates. */
+  def releaseSharedCaches(): Unit = {
+    encMemo.clear(); lshPairsMemo.clear(); exactPairsMemo.clear()
+    sharedReg.release()
+  }
+
+  /** Memo with stopped-session hygiene: entries of dead sessions are dropped
+    * (their cached blocks died with the session's BlockManager). */
+  private def memo(
+      m: TrieMap[(SparkSession, String), DataFrame],
+      s: SparkSession,
+      dir: String
+  )(build: => DataFrame): DataFrame = {
+    m.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    m.getOrElseUpdate((s, dir), build)
+  }
+
+  /** Persist + eagerly materialize a shared intermediate. */
+  private def shared(df: DataFrame): DataFrame = {
+    val p = sharedReg.persist(df)
+    p.count()
+    p
+  }
 
   private val tokenPatternSql = "\\b[a-zA-Z0-9][-a-zA-Z0-9]*[a-zA-Z0-9]\\b"
   private lazy val stopListSql: String =
@@ -77,10 +125,10 @@ object SparkEntry {
     // persisted: the regex tokenizer is the expensive part of this family
     // and the exploded token table is consumed three times (df aggregate,
     // rank-input materialization, set-build join) — uncached it re-runs the
-    // tokenizer per consumer. One-shot-session assumption as elsewhere.
-    val tok = docs.select(
+    // tokenizer per consumer. Released per query via releaseTransientCaches.
+    val tok = transientReg.persist(docs.select(
       (col("doc_id") +: kc) :+ explode(Tokenize.tokenSet(col("text"))).as("token"): _*
-    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ))
     val voc = tok.groupBy("token").agg(count(lit(1)).as("df")).filter(col("df") >= 2)
     if (prefixFilter) pairsWithPrefixFilter(tok, voc, "token", minSim, keys)
     else pairsPlain(tok, voc, "token", minSim, keys)
@@ -132,17 +180,15 @@ object SparkEntry {
     val kc = keys.map(col)
     // dense rare-first ids: ascending id = ascending (df, element), so the
     // sorted int array IS the prefix order and the verify kernel's input
-    val ranked = Ids.assignDense(edf, Seq("df", elemCol), "eid")
+    val ranked = Ids.assignDense(edf, Seq("df", elemCol), "eid", transientReg)
     val pe = elems.join(ranked.select(col(elemCol), col("eid").cast("int").as("eid")), elemCol)
     // the per-doc set table is the hub of the plan — both prefix sides and
-    // both verify sides consume it (4 scans); cache it once. One-shot-session
-    // assumption as docsEncodedCached: bench/verify runs end with the session,
-    // a long-lived service would unpersist after materializing the consumer.
-    val sets = pe
+    // both verify sides consume it (4 scans); cache it once. Released per
+    // query via releaseTransientCaches.
+    val sets = transientReg.persist(pe
       .groupBy(col("doc_id") +: kc: _*)
       .agg(sort_array(collect_list(col("eid"))).as("ts"))
-      .withColumn("n", size(col("ts")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("n", size(col("ts"))))
     // a = ceil(t*n) via ceil(t*n - 1e-9): the epsilon keeps an exact-integer
     // t*n from rounding UP on binary error (e.g. 0.2*5 -> 1.0000000000000002),
     // which would shorten the prefix and silently drop true pairs; a too-LONG
@@ -205,21 +251,35 @@ object SparkEntry {
       col("lang").as("group"),
       Tokenize.tokenSet(col("text"), cfg.shingleK).as("tokens")
     ).filter(size(col("tokens")) > 0)
-    val vocab = Vocabulary.build(base, cfg)
+    val vocab = Vocabulary.build(base, cfg, transientReg)
     Vocabulary.encode(base, vocab)
   }
 
-  /** [[docsEncoded]] persisted + materialized: the detector queries consume
-    * the encoded table 3-4x (signatures, both verify sides, assignAll's doc
-    * set) — without the cache the whole tokenize+vocab+encode chain re-runs
-    * per consumer (the round-2 q25 regression). Tiny at query scale; bench
-    * and verify runs are one-shot sessions, so the cache is not unpersisted. */
-  private def docsEncodedCached(docs: DataFrame, cfg: Config): DataFrame = {
-    val enc = docsEncoded(docs, cfg)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    enc.count()
-    enc
-  }
+  /** Memoized encoded corpus at [[oracleLshCfg]]: the detector family
+    * (q23/q24/q25) consumes the encoded table 3-4x each (signatures, both
+    * verify sides, assignAll's doc set) — without the cache the whole
+    * tokenize+vocab+encode chain re-runs per consumer (the round-2 q25
+    * regression). Persisted + materialized once per (session, dir). */
+  private def encCached(s: SparkSession, dir: String): DataFrame =
+    memo(encMemo, s, dir)(shared(docsEncoded(t(s, dir, "documents"), oracleLshCfg)))
+
+  /** Memoized MinHash-LSH verified pair table at [[oracleLshCfg]] — shared
+    * by q23 (projection) and q25 (components input), so the signatures →
+    * candidates → verify chain runs ONCE per (session, dir) instead of per
+    * query (the round-4 q25 regression: each family member rebuilt it). */
+  private def lshVerifiedCached(s: SparkSession, dir: String): DataFrame =
+    memo(lshPairsMemo, s, dir) {
+      val cfg = oracleLshCfg
+      val enc = encCached(s, dir)
+      val sigs = MinHash.withSignature(enc, cfg)
+      shared(Jaccard.verifyCounts(MinHash.candidatePairs(sigs, cfg), enc, cfg.threshold))
+    }
+
+  /** Memoized exact within-lang Jaccard pair table at threshold 0.5 — the
+    * q13/q14/q34/q34b/q35 family all rank or filter this one table; round 4
+    * re-ran the full PPJoin per query (~3-7 s each). */
+  private def exactPairsCached(s: SparkSession, dir: String): DataFrame =
+    memo(exactPairsMemo, s, dir)(shared(docPairs(t(s, dir, "documents"), 0.5)))
 
   private val tokFilterSql =
     s"""length(token) > 1 AND NOT regexp_matches(token, '^[0-9]+$$')
@@ -455,9 +515,9 @@ object SparkEntry {
         .filter(col("df") >= 2)),
 
     // ---- the similarity core (J3): within-group exact Jaccard pairs ----
-    "q13_doc_pairs" -> ((s, dir) => docPairs(t(s, dir, "documents"), 0.5)),
+    "q13_doc_pairs" -> ((s, dir) => exactPairsCached(s, dir)),
     "q14_doc_top3" -> ((s, dir) => {
-      val p = docPairs(t(s, dir, "documents"), 0.5)
+      val p = exactPairsCached(s, dir)
       val sym = p
         .select(col("a").as("doc_id"), col("b").as("neighbor"), col("sim"))
         .unionByName(p.select(col("b").as("doc_id"), col("a").as("neighbor"), col("sim")))
@@ -510,12 +570,12 @@ object SparkEntry {
       val ws = TextAnalysis.words(col("text"))
       // persisted: the regex word split + shingle transform dominates this
       // query and the gram table is consumed three times (see docPairsBy)
-      val grams = d
+      val grams = transientReg.persist(d
         .select(
           col("doc_id"),
           col("lang"),
           explode(array_distinct(Tokenize.shingles(ws, 3))).as("gram")
-        ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ))
       val gdf = grams.groupBy("gram").agg(count(lit(1)).as("df"))
       pairsWithPrefixFilter(grams, gdf, "gram", 0.2, Seq("lang"))
         .select("lang", "a", "b", "sim")
@@ -556,23 +616,17 @@ object SparkEntry {
         .withColumn("perm", col("perm").cast("long"))
         .withColumn("min_val", col("min_val").cast("long"))
     }),
-    "q23_lsh_pairs" -> ((s, dir) => {
+    "q23_lsh_pairs" -> ((s, dir) =>
       // Oracle-equality configuration: 64 bands x 2 rows makes the miss
       // probability of a true pair at sim 0.5 about (1 - 0.25)^64 ~ 1e-8,
       // and the bucket cap is effectively off so chain-linking cannot drop
       // candidates — the emitted set equals ALL exact pairs >= 0.5 (q13's
       // oracle). Verified sims are raw quotients (verifyCounts), bit-equal
-      // to DuckDB's division.
-      val cfg = oracleLshCfg
-      val enc = docsEncodedCached(t(s, dir, "documents"), cfg)
-      val sigs = MinHash.withSignature(enc, cfg)
-      Jaccard
-        .verifyCounts(MinHash.candidatePairs(sigs, cfg), enc, cfg.threshold)
-        .withColumnRenamed("group", "lang")
-    }),
+      // to DuckDB's division. The chain is memoized: q25 reuses this table.
+      lshVerifiedCached(s, dir).withColumnRenamed("group", "lang")),
     "q24_simhash_pairs" -> ((s, dir) => {
       val cfg = oracleLshCfg
-      val enc = docsEncodedCached(t(s, dir, "documents"), cfg)
+      val enc = encCached(s, dir)
       val sigs = SimHash.withSimhash(enc, cfg)
       // pigeonhole blocking is COMPLETE for hamming <= 3 (bucket cap off),
       // so the result is exactly {pairs: hamming(simhash) <= 3 ∧ sim >= 0.5}
@@ -581,13 +635,8 @@ object SparkEntry {
         .verifyCounts(SimHash.candidatePairs(sigs, cfg), enc, cfg.threshold)
         .withColumnRenamed("group", "lang")
     }),
-    "q25_components" -> ((s, dir) => {
-      val cfg = oracleLshCfg
-      val enc = docsEncodedCached(t(s, dir, "documents"), cfg)
-      val sigs = MinHash.withSignature(enc, cfg)
-      val pairs = Jaccard.verifyCounts(MinHash.candidatePairs(sigs, cfg), enc, cfg.threshold)
-      Components.assignAll(enc, pairs)
-    }),
+    "q25_components" -> ((s, dir) =>
+      Components.assignAll(encCached(s, dir), lshVerifiedCached(s, dir))),
     "q28_lsh_cosine_top3" -> ((s, dir) =>
       // ids + rank only (the cosine double is an order-dependent aggregate);
       // the oracle reproduces the sketch from the literal hyperplane matrix
@@ -600,7 +649,7 @@ object SparkEntry {
     // from the table itself, including the sqrt sizing rule.
     "q36_ivf_cosine_top3" -> ((s, dir) =>
       Similarity
-        .ivfCosineTopK(t(s, dir, "embeddings"), k = 3, nProbe = 4)
+        .ivfCosineTopK(t(s, dir, "embeddings"), k = 3, nProbe = 4, reg = transientReg)
         .select(col("vec_id"), col("neighbor"), col("rank").cast("long").as("rnk"))),
 
     // ---- composite group keys + group stats with distinct participants ----
@@ -627,7 +676,7 @@ object SparkEntry {
     // targets (cases) = every 10th doc; matches ranked among controls only
     "q34_case_control" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = docPairs(docs, 0.5).select(
+      val pairs = exactPairsCached(s, dir).select(
         col("lang").as("group"),
         col("a"),
         col("b"),
@@ -640,9 +689,29 @@ object SparkEntry {
         .withColumnRenamed("group", "lang")
     }),
 
+    // ---- sampled-control matching (reference main_citation_sample.py:
+    // 376-484: random.sample over control candidates before ranking). The
+    // sample is a SEEDED DETERMINISTIC hash of the control id (SplitMix64),
+    // not a driver RNG: reproducible under task retries, shuffles nothing,
+    // and exactly re-computable by the oracle — see TopN.caseControlSampled.
+    "q34b_sampled_controls" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = exactPairsCached(s, dir).select(
+        col("lang").as("group"),
+        col("a"),
+        col("b"),
+        col("sim")
+      )
+      val targets = docs.filter(col("doc_id") % 10 === 0).select("doc_id")
+      graft.dedup.TopN
+        .caseControlSampled(pairs, targets, n = 3, keepPct = 50, seed = 7L)
+        .withColumn("rank", col("rank").cast("long"))
+        .withColumnRenamed("group", "lang")
+    }),
+
     // ---- global top-N pairs per group (T1 over the pair table) ----
     "q35_top_pairs_per_group" -> ((s, dir) => {
-      val pairs = docPairs(t(s, dir, "documents"), 0.5).select(
+      val pairs = exactPairsCached(s, dir).select(
         col("lang").as("group"),
         col("a"),
         col("b"),
@@ -653,13 +722,15 @@ object SparkEntry {
         .withColumnRenamed("group", "lang")
     }),
 
-    // ---- multimodal: REAL image decode (javax.imageio), stub audio/video ----
+    // ---- multimodal: REAL image (javax.imageio) + REAL audio
+    // (javax.sound.sampled) decode, stub video ----
     // Image rows are synthesized as real PNGs with closed-form pixel
-    // gradients, decoded back by extractFeatures with actual raster reads —
-    // so width/height and the exact per-channel pixel sums are both real
-    // decode output AND SQL-reproducible. n_bytes is nulled for images only
-    // because a PNG's encoded size has no ANSI-SQL form; it stays real (and
-    // checked) for the text-payload modalities.
+    // gradients, audio rows as real WAVs with closed-form PCM samples; both
+    // are decoded back by extractFeatures with actual raster/container
+    // reads — so every emitted pixel/sample statistic is real decode output
+    // AND SQL-reproducible (the WAV byte size is the canonical 44-byte
+    // header + 2 bytes/sample, also closed-form). n_bytes is nulled for
+    // images only: a PNG's DEFLATE size has no ANSI-SQL form.
     "q26_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.synthesize(t(s, dir, "documents"))
       Multimodal
@@ -674,22 +745,20 @@ object SparkEntry {
           col("sum_r"),
           col("sum_g"),
           col("sum_b"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_samples"),
+          col("sum_amp"),
           size(col("embedding")).cast("long").as("dim")
         )
     }),
     "q27_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.synthesize(t(s, dir, "documents")))),
-    "q31_substring_pairs" -> ((s, dir) =>
-      graft.dedup.SuffixDedup.run(
-        t(s, dir, "documents").select(col("doc_id"), col("lang").as("group"), col("text").as("content")),
-        graft.dedup.SuffixDedup.SubConfig(k = 16, window = 5, minMatch = 20)
-      )),
-    // The winnowing CANDIDATE stage of q31, split out because it IS
-    // oracle-able: fingerprints are a pure function of (text, k, window)
-    // (rolling polynomial hash mod 2^61-1, windowed min, distinct values),
-    // the df cap is a GROUP BY, and with maxFpDf (200) <= maxBucket (1000)
-    // no bucket can hit the chain-linking path — so plain SQL reproduces the
-    // exact pair set. Only the suffix-automaton LCS verify stays sbt-only.
+    // The winnowing CANDIDATE stage of the substring detector, split out
+    // because it IS oracle-able: fingerprints are a pure function of
+    // (text, k, window) (rolling polynomial hash mod 2^61-1, windowed min,
+    // distinct values), the df cap is a GROUP BY, and with maxFpDf (200) <=
+    // maxBucket (1000) no bucket can hit the chain-linking path — so plain
+    // SQL reproduces the exact pair set.
     // CAVEAT: the engine hashes UTF-16 code units (String.charAt — a
     // well-defined deterministic contract) while DuckDB's substr/unicode
     // walk code points; the two agree exactly on BMP text (all of the
@@ -697,15 +766,23 @@ object SparkEntry {
     "q31a_winnow_candidates" -> ((s, dir) =>
       graft.dedup.SuffixDedup.candidatePairs(
         t(s, dir, "documents").select(col("doc_id"), col("lang").as("group"), col("text").as("content")),
-        graft.dedup.SuffixDedup.SubConfig(k = 16, window = 5, minMatch = 20)
+        graft.dedup.SuffixDedup.SubConfig(k = 16, window = 5, minMatch = 20),
+        transientReg
       )),
-    // q31 in driver-verifiable existence form: pairs sharing a verified
-    // >= 20-char substring, ids only (see the oracle comment for why this is
-    // exactly SQL-expressible while lcs_len itself is not)
+    // The full SuffixDedup.run pipeline (winnow -> df cap -> suffix-automaton
+    // LCS verify) in driver-verifiable existence form: pairs sharing a
+    // verified >= 20-char substring, ids only. The exact lcs_len /
+    // containment columns run here too (the >= minMatch filter consumes
+    // them) but are not PROJECTED because general LCS length has no ANSI-SQL
+    // form — they are pinned by the sbt property suite against a naive DP
+    // oracle instead (SuffixDedupSpec). Round 4 exposed them as a separate
+    // `q31_substring_pairs` entry, which duplicated this whole pipeline per
+    // bench run solely to add a column the driver could not check.
     "q31b_substring_exists" -> ((s, dir) =>
       graft.dedup.SuffixDedup.run(
         t(s, dir, "documents").select(col("doc_id"), col("lang").as("group"), col("text").as("content")),
-        graft.dedup.SuffixDedup.SubConfig(k = 16, window = 5, minMatch = 20)
+        graft.dedup.SuffixDedup.SubConfig(k = 16, window = 5, minMatch = 20),
+        transientReg
       ).select(col("group").as("lang"), col("a"), col("b"))),
     "q33_embedding_neardup" -> ((s, dir) =>
       // ids only: the cosine itself is an order-dependent float aggregate.
@@ -966,6 +1043,25 @@ object SparkEntry {
          |  FROM sym WHERE probe % 10 = 0 AND matched % 10 <> 0 AND sim >= 0.05)
          |SELECT lang, probe, matched, rank, sim FROM cc WHERE rank <= 3""".stripMargin
         .replace("\n", " "),
+    // q34 plus the seeded control sample: keep control c iff
+    // (SplitMix64(c ^ 7) >>> 1) % 100 < 50, recomputed here with the same
+    // UBIGINT mix chain the q24 simhash oracle validates bit-for-bit.
+    "q34b_sampled_controls" ->
+      s"""WITH $prunedTokensCte,
+         |${pairsWithCountsSql(0.5)},
+         |mx0 AS (SELECT doc_id, CAST((CAST(xor(doc_id, 7) AS HUGEINT) + 11400714819323198485) % $U64 AS UBIGINT) AS z0 FROM documents),
+         |mx1 AS (SELECT doc_id, ${sqlMulMod64("xor(z0, z0 >> 30)", "13787848793156543929")} AS z1 FROM mx0),
+         |mx2 AS (SELECT doc_id, ${sqlMulMod64("xor(z1, z1 >> 27)", "10723151780598845931")} AS z2 FROM mx1),
+         |keep AS (SELECT doc_id FROM (SELECT doc_id, xor(z2, z2 >> 31) AS h FROM mx2)
+         |  WHERE (h >> 1) % 100 < 50),
+         |sym AS (SELECT lang, a AS probe, b AS matched, sim FROM pc
+         |  UNION ALL SELECT lang, b AS probe, a AS matched, sim FROM pc),
+         |cc AS (SELECT lang, probe, matched, sim,
+         |  row_number() OVER (PARTITION BY probe ORDER BY sim DESC, matched) AS rank
+         |  FROM sym WHERE probe % 10 = 0 AND matched % 10 <> 0 AND sim >= 0.05
+         |    AND matched IN (SELECT doc_id FROM keep))
+         |SELECT lang, probe, matched, rank, sim FROM cc WHERE rank <= 3""".stripMargin
+        .replace("\n", " "),
     "q32_two_key_stats" ->
       s"""WITH toks0 AS (SELECT doc_id, lang, source, unnest(list_distinct(regexp_extract_all(lower(text), '$tokenPatternSql'))) AS token FROM documents),
          |tok AS (SELECT doc_id, lang, source, token FROM toks0 WHERE $tokFilterSql),
@@ -987,16 +1083,23 @@ object SparkEntry {
          |FROM st JOIN nd ON st.lang = nd.lang AND st.source = nd.source""".stripMargin.replace("\n", " "),
     "q26_multimodal_features" ->
       """WITH m AS (SELECT doc_id, doc_id % 3 AS md, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h,
-        | (doc_id * 7) % 256 AS r0, (doc_id * 11) % 256 AS g0, (doc_id * 13) % 256 AS b0, text
+        | (doc_id * 7) % 256 AS r0, (doc_id * 11) % 256 AS g0, (doc_id * 13) % 256 AS b0,
+        | 256 + doc_id % 256 AS ns, text
         | FROM documents)
         |SELECT doc_id AS media_id,
         | CASE WHEN md = 0 THEN 'image' WHEN md = 1 THEN 'audio' ELSE 'video' END AS modality,
-        | CASE WHEN md = 0 THEN NULL ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS n_bytes,
+        | CASE WHEN md = 0 THEN NULL
+        |  WHEN md = 1 THEN CAST(44 + 2 * ns AS BIGINT)
+        |  ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS n_bytes,
         | CASE WHEN md = 0 THEN w END AS width,
         | CASE WHEN md = 0 THEN h END AS height,
         | CASE WHEN md = 0 THEN h * list_sum(list_transform(generate_series(0, w - 1), x -> (r0 + x) % 256)) END AS sum_r,
         | CASE WHEN md = 0 THEN h * list_sum(list_transform(generate_series(0, w - 1), x -> (g0 + x) % 256)) END AS sum_g,
         | CASE WHEN md = 0 THEN h * list_sum(list_transform(generate_series(0, w - 1), x -> (b0 + x) % 256)) END AS sum_b,
+        | CASE WHEN md = 1 THEN CAST(8000 AS BIGINT) END AS sample_rate,
+        | CASE WHEN md = 1 THEN CAST(ns AS BIGINT) END AS n_samples,
+        | CASE WHEN md = 1 THEN CAST(list_sum(list_transform(generate_series(0, ns - 1),
+        |   i -> (doc_id * 7919 + i * 2663) % 65536 - 32768)) AS BIGINT) END AS sum_amp,
         | CAST(64 AS BIGINT) AS dim
         |FROM m""".stripMargin.replace("\n", " "),
     "q33_embedding_neardup" ->

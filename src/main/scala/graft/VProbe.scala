@@ -28,10 +28,11 @@ object VProbe {
       .groupBy("token").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
     time("agg-count")(println("  vocab rows " + agg.count()))
-    val vocab = time("build-ids")(Vocabulary.build(docs, Config()))
+    val reg = new graft.dedup.CacheRegistry
+    val vocab = time("build-ids")(Vocabulary.build(docs, Config(), reg))
     time("materialize")(println("  ids rows " + vocab.count()))
     time("write")(vocab.write.mode("overwrite").option("compression", "zstd").parquet(s"/tmp/vprobe-out"))
-    Ids.releaseCaches()
+    reg.release()
     spark.stop()
   }
 }

@@ -73,12 +73,6 @@ object Checkpoints {
     if (!exists(spark, path)) {
       val t0 = System.nanoTime()
       val df = build
-      // zstd, not snappy: token-array columns routinely overflow parquet's
-      // 1MB dictionary page (a stage-output file can see most of the token
-      // universe once AQE coalesces partitions) and fall back to PLAIN,
-      // where snappy leaves ~60% of the redundancy on disk; zstd finds the
-      // repeated token strings without any dictionary-size coupling, at
-      // negligible codec cost next to the scan itself
       // zstd (not snappy), DEFAULT dictionary budget: token-array columns
       // overflow parquet's 1MB dictionary page and fall back to PLAIN, and
       // zstd recovers that redundancy at codec level. Raising the dictionary
@@ -153,7 +147,7 @@ object Checkpoints {
       .parquet(path + "_metrics")
 
     val lineage =
-      s"""{"stage":"${name}","path":"${path}","inputs":[${inputs.map(i => "\"" + i + "\"").mkString(",")}],"wall_ms":${wallMs}}"""
+      s"""{"stage":${JsonText.quote(name)},"path":${JsonText.quote(path)},"inputs":[${inputs.map(JsonText.quote).mkString(",")}],"wall_ms":${wallMs}}"""
     val lp = new Path(path + "_lineage.json")
     val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(lp, true)
@@ -205,4 +199,20 @@ object Checkpoints {
     * in the checkpoint are skipped. */
   def resumeAnti(work: DataFrame, checkpoint: DataFrame, keys: Seq[String]): DataFrame =
     work.join(checkpoint.select(keys.map(col): _*).distinct(), keys, "left_anti")
+}
+
+/** Minimal JSON string quoting for the hand-authored manifests (lineage,
+  * oracle dump): backslash, quote, and ALL control chars (<0x20) — a quote
+  * or tab in a workDir path or builder-authored SQL would otherwise emit
+  * invalid JSON that fails a reader's json.load. */
+object JsonText {
+  def quote(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 }

@@ -142,7 +142,10 @@ object Components {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = edges.count() // materializes the cache; path decision
 
-    if (nEdges <= driverLocalMaxEdges) {
+    // the driver-local path indexes primitive arrays, so it is additionally
+    // clamped to Int range: a caller-raised driverLocalMaxEdges above 2^31-1
+    // must take the distributed path, not silently truncate `n`
+    if (nEdges <= math.min(driverLocalMaxEdges, Int.MaxValue.toLong)) {
       // primitive arrays end to end: the round-3 HashMap[Long, Long] spent
       // most of this path's wall boxing — this is SERIAL driver time that
       // lands identically in every scaling leg, the exact cost class the

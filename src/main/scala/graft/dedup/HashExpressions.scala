@@ -55,7 +55,12 @@ object HashKernels {
       // every value is an exact residue mod 2^31-1, so the signature ships
       // as array<int> — HALF the bytes of round 3's array<long> through the
       // signatures checkpoint and the candidates scan; band hashes are
-      // bit-identical because the long values were zero-extended ints
+      // bit-identical because the long values were zero-extended ints.
+      // EXCEPTION: an EMPTY token array leaves the Long.MaxValue init
+      // sentinel in every slot, which narrows to -1 (not a residue) — empty
+      // docs must be filtered upstream (Pipeline drops size==0 sig_tokens;
+      // Vocabulary.encode drops n_tokens==0 docs), and a -1-signature doc
+      // would only ever bucket with other empty docs anyway
       val out = new Array[Int](k)
       var j = 0
       while (j < k) { out(j) = sig(j).toInt; j += 1 }

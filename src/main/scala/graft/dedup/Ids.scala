@@ -28,36 +28,26 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Ids {
 
-  // caches created by id assignment; the consuming stage releases them once
-  // its output is materialized (e.g. after a checkpoint write)
-  private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-
-  /** Unpersist (non-blocking) every cache created by [[assignDense]] /
-    * [[assignDenseByKey]] since the last release. Call after the consuming
-    * plan is materialized. The queue is JVM-global while sessions come and
-    * go (bench legs, tests): entries whose session has already stopped are
-    * simply discarded — their blocks died with the session's BlockManager,
-    * and unpersist on a stopped context NPEs. */
-  def releaseCaches(): Unit = {
-    var d = live.poll()
-    while (d != null) {
-      if (!d.sparkSession.sparkContext.isStopped) {
-        try d.unpersist(blocking = false)
-        catch { case _: Exception => () } // racing a concurrent session stop
-      }
-      d = live.poll()
-    }
-  }
+  // Cache lifetime is CALLER-owned via the CacheRegistry parameter: the
+  // persisted scaffolding pins the sampled range partitioning that both the
+  // count job and the (lazy) stamp job must share — a JVM-global release
+  // hook could fire between them from an unrelated caller and silently
+  // re-sample the boundaries (duplicated/skipped ids). Callers release their
+  // registry only after the consuming plan is materialized.
 
   /** Direct stamp: `df`'s rows must be UNIQUE by `sortCols` (vocabulary
     * aggregates and similar skinny tables are, by construction). Payload
     * columns ride along through the range shuffle. */
-  def assignDense(df: DataFrame, sortCols: Seq[String], idCol: String): DataFrame = {
+  def assignDense(
+      df: DataFrame,
+      sortCols: Seq[String],
+      idCol: String,
+      reg: CacheRegistry = CacheRegistry.unmanaged
+  ): DataFrame = {
     // the sampling pass of repartitionByRange re-executes the input lineage;
     // persist so an upstream aggregate is computed once
-    val input = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    live.add(input)
-    stampDense(input, sortCols, idCol)
+    val input = reg.persist(df)
+    stampDense(input, sortCols, idCol, reg)
   }
 
   /** Id assignment for wide rows: stamp the distinct key projection, join
@@ -70,7 +60,8 @@ object Ids {
       df: DataFrame,
       sortCols: Seq[String],
       idCol: String,
-      dropDuplicateKeys: Boolean = false
+      dropDuplicateKeys: Boolean = false,
+      reg: CacheRegistry = CacheRegistry.unmanaged
   ): DataFrame = {
     // The payload's ONE shuffle hash-partitions on the FIRST key only
     // (repo, for the corpus). A subset of the join/agg keys satisfies their
@@ -81,12 +72,11 @@ object Ids {
     // token arrays (hash-on-full-key scattered every repo across every
     // file and wrote a 60% larger docs table). Prefix skew (a mega-repo)
     // is AQE's skew-join case, and the skew splits preserve adjacency.
-    val base = df
-      .repartition(col(sortCols.head))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    live.add(base)
+    val base = reg.persist(
+      df.repartition(col(sortCols.head))
+    )
     val keyCnt = base.groupBy(sortCols.map(col): _*).agg(count(lit(1)).as("__cnt"))
-    val keyIds = stampDense(keyCnt, sortCols, idCol)
+    val keyIds = stampDense(keyCnt, sortCols, idCol, reg)
     val hasDups = dropDuplicateKeys &&
       keyIds.filter(col("__cnt") > 1).limit(1).count() > 0
     val deduped = if (hasDups) base.dropDuplicates(sortCols) else base
@@ -109,13 +99,18 @@ object Ids {
     * cached sorted copy), fold counts into start offsets on the driver
     * (O(#partitions) state), stamp offset + local index (second narrow
     * job). The persist pins the partitioning both jobs must share. */
-  private def stampDense(input: DataFrame, sortCols: Seq[String], idCol: String): DataFrame = {
+  private def stampDense(
+      input: DataFrame,
+      sortCols: Seq[String],
+      idCol: String,
+      reg: CacheRegistry
+  ): DataFrame = {
     val cols = sortCols.map(col)
-    val sorted = input
-      .repartitionByRange(cols: _*)
-      .sortWithinPartitions(cols: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    live.add(sorted)
+    val sorted = reg.persist(
+      input
+        .repartitionByRange(cols: _*)
+        .sortWithinPartitions(cols: _*)
+    )
 
     // per-partition counts over the CACHED sorted copy. Dataset.mapPartitions,
     // not queryExecution.toRdd: a Dataset action plans through the cache

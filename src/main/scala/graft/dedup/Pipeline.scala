@@ -47,14 +47,18 @@ object Pipeline {
     * materialization of the cached base. Key dedup is detected on the
     * skinny key side and only resolved with a payload aggregate when
     * duplicates actually exist ([[Ids.assignDenseByKey]]). */
-  def prepareDocs(input: DataFrame, cfg: Config): DataFrame = {
+  def prepareDocs(
+      input: DataFrame,
+      cfg: Config,
+      reg: CacheRegistry = CacheRegistry.unmanaged
+  ): DataFrame = {
     val derived = input
       .withColumn("content_sha", sha2(col("content"), 256))
       .withColumn("n_bytes", octet_length(col("content")))
       .withColumn("tokens", Tokenize.tokenSet(col("content"), cfg.shingleK))
       .drop("content")
     val withId =
-      Ids.assignDenseByKey(derived, Seq("repo", "path", "commit"), "doc_id", dropDuplicateKeys = true)
+      Ids.assignDenseByKey(derived, Seq("repo", "path", "commit"), "doc_id", dropDuplicateKeys = true, reg = reg)
     val groupExpr =
       if (cfg.groupCols.size == 1) col(cfg.groupCols.head).cast("string")
       else
@@ -139,18 +143,22 @@ object Pipeline {
 
   def run(spark: SparkSession, input: DataFrame, cfg: Config, workDir: String): Tables = {
     def p(s: String) = s"$workDir/$s"
+    // run-scoped cache ownership: this run releases exactly the caches it
+    // created (never another concurrent run's in-flight id-assignment
+    // scaffolding — the round-4 global release hook's hazard)
+    val reg = new CacheRegistry
 
     val docs = Checkpoints.stage(spark, "docs", p("docs"), Seq("group"))(
-      prepareDocs(input, cfg)
+      prepareDocs(input, cfg, reg)
     )
     // the id-assignment caches inside prepareDocs are dead weight once the
     // stage is parquet-committed (stage() re-reads from disk) — free them
     // before the wide stages start competing for executor memory
-    Ids.releaseCaches()
+    reg.release()
     val vocab = Checkpoints.stage(spark, "vocab", p("vocab"), Nil, Seq(p("docs")))(
-      Vocabulary.build(docs, cfg)
+      Vocabulary.build(docs, cfg, reg)
     )
-    Ids.releaseCaches()
+    reg.release()
     val encoded = Checkpoints.stage(spark, "encoded", p("encoded"), Seq("group"), Seq(p("docs"), p("vocab")))(
       // vocab size from the metrics sidecar picks the encode plan
       // (broadcast map vs shuffle join) without an extra count job
@@ -160,8 +168,9 @@ object Pipeline {
     // Only docs that survived pruning take part in classes / signatures.
     // Persisted: consumed by the signatures stage AND pair expansion — without
     // the cache its groupBy+join lineage re-executes in every consumer.
-    val classMap = exactClassMap(docs.join(encoded.select("doc_id").hint("shuffle_hash"), "doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val classMap = reg.persist(
+      exactClassMap(docs.join(encoded.select("doc_id").hint("shuffle_hash"), "doc_id"))
+    )
 
     val signatures = Checkpoints.stage(spark, "signatures", p("signatures"), Seq("group"), Seq(p("encoded")))({
       // Boilerplate cap: tokens in more than maxDf of docs (license headers,
@@ -197,6 +206,8 @@ object Pipeline {
     val pairs = Checkpoints.stage(spark, "pairs", p("pairs"), Seq("group"), Seq(p("candidates"), p("encoded")))(
       expandExactClasses(Jaccard.verify(candidates, encoded, cfg.threshold), classMap)
     )
+    // classMap's last consumer (the pairs stage) is parquet-committed
+    reg.release()
 
     val components = Checkpoints.stage(spark, "components", p("components"), Nil, Seq(p("pairs")))(
       Components.assignAll(encoded, pairs)
@@ -213,7 +224,8 @@ object Pipeline {
             input
               .dropDuplicates("repo", "path", "commit")
               .join(docs.select("doc_id", "repo", "path", "commit", "group"), Seq("repo", "path", "commit"))
-              .select(col("doc_id"), col("group"), col("content"))
+              .select(col("doc_id"), col("group"), col("content")),
+            reg = reg
           )
         ))
 
@@ -229,6 +241,7 @@ object Pipeline {
     // join the off-critical-path sidecar writes: callers of run() may read
     // any stage's _metrics / _lineage.json immediately
     Checkpoints.awaitAllSidecars()
+    reg.release()
 
     Tables(docs, vocab, encoded, signatures, candidates, pairs, components, substring, topn)
   }

@@ -203,16 +203,20 @@ object SuffixDedup {
     * oracle-able in ANSI SQL whenever no (group, fp) bucket exceeds
     * `maxBucket` (guaranteed when maxFpDf <= maxBucket, since a bucket's size
     * is bounded by the fingerprint's document frequency). */
-  def candidatePairs(docs: DataFrame, cfg: SubConfig = SubConfig()): DataFrame = {
+  def candidatePairs(
+      docs: DataFrame,
+      cfg: SubConfig = SubConfig(),
+      reg: CacheRegistry = CacheRegistry.unmanaged
+  ): DataFrame = {
     val k = cfg.k; val w = cfg.window
     val fpUdf = udf((content: String) => fingerprints(content, k, w))
     // persisted: the rolling-hash + winnow UDF dominates candidate cost and
     // the fingerprint table is consumed twice (df cap aggregate + anti
     // join); Spark's cache manager also shares this plan across the q31
-    // family in one session (one-shot-session assumption as elsewhere)
-    val fps = docs
-      .select(col("doc_id"), col("group"), explode(fpUdf(col("content"))).as("fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // family in one session. Lifetime is caller-owned via `reg`.
+    val fps = reg.persist(
+      docs.select(col("doc_id"), col("group"), explode(fpUdf(col("content"))).as("fp"))
+    )
 
     // boilerplate cap: drop fingerprints shared by too many docs
     val common = fps.groupBy("fp").agg(count(lit(1)).as("df")).filter(col("df") > cfg.maxFpDf)
@@ -223,8 +227,12 @@ object SuffixDedup {
 
   /** docs: (doc_id, group, content). Returns (group, a, b, lcs_len,
     * containment) for pairs sharing a verified substring >= minMatch chars. */
-  def run(docs: DataFrame, cfg: SubConfig = SubConfig()): DataFrame = {
-    val candidates = candidatePairs(docs, cfg)
+  def run(
+      docs: DataFrame,
+      cfg: SubConfig = SubConfig(),
+      reg: CacheRegistry = CacheRegistry.unmanaged
+  ): DataFrame = {
+    val candidates = candidatePairs(docs, cfg, reg)
     val minMatch = cfg.minMatch
     val lcsUdf = udf((x: String, y: String) =>
       if (x.length <= y.length) lcsLen(x, y) else lcsLen(y, x)

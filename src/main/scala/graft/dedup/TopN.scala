@@ -77,6 +77,50 @@ object TopN {
       .select(col("group"), col("probe"), col("matched"), col("rank"), col("sim"))
   }
 
+  /** [[caseControl]] with the reference's control SAMPLING step
+    * (code/main_citation_sample.py:376-484: `random.sample` over the control
+    * candidates BEFORE ranking, so ranks are computed within the sample).
+    *
+    * The sample is a seeded deterministic hash, not a driver RNG: control id
+    * c is kept iff (SplitMix64(c ^ seed) >>> 1) % 100 < keepPct. A
+    * driver-side random sample is neither reproducible under task retries
+    * nor computable without collecting the control universe; hashing makes
+    * the sample a pure function of (doc_id, seed) — identical on every
+    * executor, every retry, and in the SQL oracle (the same SplitMix64 chain
+    * the SimHash oracle already validates bit-for-bit). Statistically it is
+    * a keepPct% Bernoulli sample, which is what random.sample approximates
+    * at corpus scale. */
+  def caseControlSampled(
+      pairs: DataFrame,
+      targets: DataFrame,
+      n: Int,
+      minSimilarity: Double = 0.05,
+      keepPct: Int = 50,
+      seed: Long = 7L
+  ): DataFrame = {
+    require(keepPct >= 0 && keepPct <= 100, s"keepPct must be in [0,100]: $keepPct")
+    val s = seed
+    val keepUdf = udf((id: Long) => ((SimHash.mix64(id ^ s) >>> 1) % 100) < keepPct)
+    val t = targets.select(col("doc_id")).distinct()
+    val sym = pairs
+      .filter(col("sim") >= minSimilarity)
+      .select(col("group"), col("a").as("probe"), col("b").as("matched"), col("sim"))
+      .unionByName(
+        pairs
+          .filter(col("sim") >= minSimilarity)
+          .select(col("group"), col("b").as("probe"), col("a").as("matched"), col("sim"))
+      )
+    val cased = sym
+      .join(t.select(col("doc_id").as("probe")), Seq("probe"), "left_semi")
+      .join(t.select(col("doc_id").as("matched")), Seq("matched"), "left_anti")
+      .filter(keepUdf(col("matched")))
+    val w = Window.partitionBy(col("probe")).orderBy(desc("sim"), asc("matched"))
+    cased
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .select(col("group"), col("probe"), col("matched"), col("rank"), col("sim"))
+  }
+
   /** Per-group corpus stats (code/main_closest.py:272-315), including the
     * reference's distinct-participant count (the "Patents" column,
     * code/main_closest.py:305-314): number of distinct docs appearing on

@@ -29,13 +29,13 @@ object Vocabulary {
     * boilerplate cap applies to SIGNATURES only (see [[hotTokenIds]]) so the
     * verification sets keep full reference semantics.
     */
-  def build(docs: DataFrame, cfg: Config): DataFrame = {
+  def build(docs: DataFrame, cfg: Config, reg: CacheRegistry = CacheRegistry.unmanaged): DataFrame = {
     val df = docs
       .select(explode(col("tokens")).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= cfg.minDf)
-    Ids.assignDense(df, Seq("token"), "token_id")
+    Ids.assignDense(df, Seq("token"), "token_id", reg)
   }
 
   /** Token ids too common to carry signal: df > maxDf * nDocs. By pigeonhole

@@ -302,8 +302,9 @@ object Similarity {
       nCentroids: Int = 0, // 0 = adaptive: max(16, ceil(sqrt(n))) — the
       // classic IVF sizing that keeps probe-list volume ~ n^1.5 * nProbe
       nProbe: Int = 4,
-      refineIters: Int = 0 // k-means refinement passes over the quantizer;
+      refineIters: Int = 0, // k-means refinement passes over the quantizer;
       // 0 keeps the pure-function-of-input contract the q36 oracle needs
+      reg: graft.dedup.CacheRegistry = graft.dedup.CacheRegistry.unmanaged
   ): DataFrame = {
     val nc =
       if (nCentroids > 0) nCentroids
@@ -354,14 +355,14 @@ object Similarity {
       }
       sel.result()
     }
-    val ranked = embeddings
-      .select(col("vec_id"), col("embedding"), probesUdf(col("embedding")).as("probes"))
-      .filter(size(col("probes")) > 0)
+    val ranked = reg.persist(
       // consumed twice (assignment + probes) inside the returned lazy plan;
-      // like docsEncodedCached this assumes a one-shot session (bench /
-      // verify runs) — a long-lived service would unpersist after
-      // materializing the consumer
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // cache lifetime is caller-owned via `reg` (the bench/verify drivers
+      // release after materializing each query)
+      embeddings
+        .select(col("vec_id"), col("embedding"), probesUdf(col("embedding")).as("probes"))
+        .filter(size(col("probes")) > 0)
+    )
     val assignment = ranked.select(
       col("vec_id"),
       col("embedding"),

@@ -287,14 +287,36 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: audio rows decode real WAV samples matching the closed-form PCM") {
+    val media = Multimodal.synthesize(docs)
+    val wav = Multimodal
+      .extractFeatures(media)
+      .filter(col("modality") === "audio")
+      .select("media_id", "n_bytes", "sample_rate", "n_samples", "sum_amp")
+      .collect()
+    assert(wav.nonEmpty, "no audio rows synthesized")
+    wav.foreach { r =>
+      val id = r.getLong(0)
+      val n = 256 + (id % 256).toInt
+      assert(r.getInt(1) == 44 + 2 * n, s"WAV byte size (44-byte canonical header + 2/sample) for $id")
+      assert(r.getInt(2) == 8000, s"decoded sample rate for $id")
+      assert(r.getLong(3) == n.toLong, s"decoded frame count for $id")
+      val expSum = (0 until n).map(i => Math.floorMod(id * 7919 + i.toLong * 2663, 65536L) - 32768L).sum
+      assert(r.getLong(4) == expSum, s"decoded amplitude sum for $id")
+    }
+  }
+
   test("multimodal: features have the declared batch shape; frames follow metadata") {
     val media = Multimodal.synthesize(docs)
     val feats = Multimodal.extractFeatures(media, dim = 16)
     assert(feats.schema.fieldNames.toSeq ==
-      Seq("media_id", "modality", "n_bytes", "width", "height", "sum_r", "sum_g", "sum_b", "embedding"))
+      Seq("media_id", "modality", "n_bytes", "width", "height", "sum_r", "sum_g", "sum_b",
+        "sample_rate", "n_samples", "sum_amp", "embedding"))
     val sample = feats.filter(col("modality") =!= "image").limit(5).collect()
     assert(sample.forall(_.getAs[Seq[Float]]("embedding").length == 16))
     assert(sample.forall(_.isNullAt(3)), "non-image rows must have null pixel fields")
+    val video = feats.filter(col("modality") === "video").limit(5).collect()
+    assert(video.forall(_.isNullAt(8)), "video rows must have null sample fields")
     // determinism: same bytes -> same embedding
     val twice = Multimodal.extractFeatures(media, dim = 16)
     val a = feats.orderBy("media_id").limit(3).collect().map(_.toSeq)

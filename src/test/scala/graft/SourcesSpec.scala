@@ -108,6 +108,25 @@ class SourcesSpec extends SparkSpec {
     assert(Checkpoints.stageRowCount(spark, s"$work/heal") == 20L)
   }
 
+  test("lineage manifest is valid JSON even for paths with quotes/backslashes") {
+    import graft.dedup.JsonText
+    // the quoter itself
+    assert(JsonText.quote("""a"b\c""" + "\t\n") == """"a\"b\\c\t\n"""")
+    assert(JsonText.quote("plain") == "\"plain\"")
+    // end-to-end: a workDir containing a quote round-trips through
+    // _lineage.json -> a real JSON parser (Spark's reader)
+    val work = tmpDir("graft-lineage-\"q\"")
+    val rows = (1L to 5L).map(i => (i, s"v$i")).toDF("k", "v")
+    Checkpoints.stage(spark, "lin", s"$work/lin", inputs = Seq(s"$work/in\"put"))(rows)
+    Checkpoints.awaitAllSidecars()
+    val parsed = spark.read.json(s"$work/lin_lineage.json").collect()
+    assert(parsed.length == 1)
+    val r = parsed.head
+    assert(r.getAs[String]("stage") == "lin")
+    assert(r.getAs[String]("path") == s"$work/lin")
+    assert(r.getAs[scala.collection.Seq[String]]("inputs").toSeq == Seq(s"$work/in\"put"))
+  }
+
   test("S8/J7: anti-join resume skips keys already in the checkpoint") {
     val work = (1L to 100L).map(i => (i, s"payload$i")).toDF("k", "v")
     val done = (1L to 40L).map(i => Tuple1(i)).toDF("k")

@@ -48,6 +48,49 @@ class TopNSpec extends SparkSpec {
     assert(got.filter(col("probe") === 1L).count() == 3)
   }
 
+  test("caseControlSampled: seeded hash-sample of controls, ranks within the sample (reference main_citation_sample)") {
+    val targets = Seq(1L, 10L).toDF("doc_id")
+    // reimplement the keep rule independently (SplitMix64 via the public
+    // simhash64 is not exposed; recompute the finalizer inline)
+    def mix64(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def kept(id: Long, seed: Long, pct: Int): Boolean = ((mix64(id ^ seed) >>> 1) % 100) < pct
+    val seed = 7L
+    val got = TopN
+      .caseControlSampled(pairs, targets, n = 3, minSimilarity = 0.0, keepPct = 50, seed = seed)
+      .select("probe", "matched", "rank")
+      .as[(Long, Long, Int)]
+      .collect()
+    // every emitted control must pass the keep rule, no target is a control
+    assert(got.nonEmpty, "sample emptied everything — adjust the fixture")
+    got.foreach { case (p, m, _) =>
+      assert(Set(1L, 10L).contains(p), s"probe $p is not a target")
+      assert(!Set(1L, 10L).contains(m), s"matched $m is a target")
+      assert(kept(m, seed, 50), s"control $m fails the seeded keep rule")
+    }
+    // ranks are contiguous per probe and ordered within the SAMPLED controls
+    val unsampled = TopN
+      .caseControl(pairs, targets, n = 10, minSimilarity = 0.0)
+      .select("probe", "matched")
+      .as[(Long, Long)]
+      .collect()
+      .filter { case (_, m) => kept(m, seed, 50) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val sampled = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(sampled == unsampled.filter(_._2.nonEmpty),
+      "sample-then-rank must equal rank-restricted-to-sample at n >= sample size")
+    // keepPct 100 keeps everything, 0 keeps nothing
+    assert(TopN.caseControlSampled(pairs, targets, 10, 0.0, keepPct = 0).count() == 0)
+    assert(
+      TopN.caseControlSampled(pairs, targets, 10, 0.0, keepPct = 100).count() ==
+        TopN.caseControl(pairs, targets, 10, 0.0).count()
+    )
+  }
+
   test("groupStats matches manual aggregation (reference A4)") {
     val r = TopN.groupStats(pairs).filter(col("group") === "g1").head()
     assert(r.getAs[Long]("n_pairs") == 5)
