@@ -234,7 +234,15 @@ object CompactDict {
     * offsets into the blob, entry ids): pure array concatenation plus the
     * probe-table build — no per-entry String object ever exists on the
     * driver. Token hashes are computed from the char blob with String's
-    * exact hash recurrence, so probing with a String key still matches. */
+    * exact hash recurrence, so probing with a String key still matches.
+    *
+    * The char-scanning work (blob copies, per-entry hashes) runs on the
+    * driver's ForkJoin common pool: each blob copies into a DISJOINT target
+    * range and each entry hashes a disjoint blob span, so the parallel
+    * stages are race-free, and only the cheap char-free insertion loop
+    * (entries are unique — inserts never compare keys) stays sequential.
+    * This is pure serial driver time on the encode critical path — the cost
+    * class that lands identically in every scaling leg. */
   def fromBlobs(blobs: Array[(String, Array[Int], Array[Int])]): CompactDict = {
     var totalChars = 0L
     var n = 0
@@ -243,18 +251,28 @@ object CompactDict {
     val chars = new Array[Char](totalChars.toInt)
     val offs = new Array[Int](n + 1)
     val ids = new Array[Int](n)
-    var e = 0
+    // per-blob start positions (chars and entries), then parallel fill
+    val charBase = new Array[Int](blobs.length)
+    val entryBase = new Array[Int](blobs.length)
+    var b = 0
     var base = 0
-    blobs.foreach { case (s, o, pid) =>
-      s.getChars(0, s.length, chars, base)
+    var e = 0
+    while (b < blobs.length) {
+      charBase(b) = base; entryBase(b) = e
+      base += blobs(b)._1.length; e += blobs(b)._2.length
+      b += 1
+    }
+    java.util.stream.IntStream.range(0, blobs.length).parallel().forEach { bi =>
+      val (s, o, pid) = blobs(bi)
+      val cb = charBase(bi)
+      val eb = entryBase(bi)
+      s.getChars(0, s.length, chars, cb)
       var i = 0
       while (i < o.length) {
-        offs(e) = base + o(i)
-        ids(e) = pid(i)
-        e += 1
+        offs(eb + i) = cb + o(i)
+        ids(eb + i) = pid(i)
         i += 1
       }
-      base += s.length
     }
     offs(n) = base
     new CompactDict(chars, offs, ids, probeTable(chars, offs, n))
@@ -265,14 +283,19 @@ object CompactDict {
     while (cap * 3L < n * 5L) cap <<= 1 // load <= 0.6
     val table = Array.fill(cap)(-1)
     val mask = cap - 1
-    var e = 0
-    while (e < n) {
-      // String.hashCode over the entry's blob span (h = 31*h + c)
+    // per-entry spread hashes in parallel (the char-scanning bulk of the
+    // build); String.hashCode over the entry's blob span (h = 31*h + c)
+    val spreads = new Array[Int](n)
+    java.util.stream.IntStream.range(0, n).parallel().forEach { e =>
       var h = 0
       var j = offs(e)
       val end = offs(e + 1)
       while (j < end) { h = 31 * h + chars(j); j += 1 }
-      var i = spread(h) & mask
+      spreads(e) = spread(h)
+    }
+    var e = 0
+    while (e < n) {
+      var i = spreads(e) & mask
       while (table(i) != -1) i = (i + 1) & mask
       table(i) = e
       e += 1
