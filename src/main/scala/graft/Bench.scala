@@ -364,6 +364,21 @@ object Bench {
          #|---|---|---|---|
          #$stageRows
          #
+         #On the vocab stage's sub-4x ratio (profiled with VProbe, round 5):
+         #the stage is the explode + partial-hash-aggregate over the token
+         #universe (the id stamp, count job and parquet write total ~1.4 s
+         #flat). Partial aggregation over a HIGH-CARDINALITY key does more
+         #total work at higher task counts — each task materializes partial
+         #counts for its own large subset of the universe, so the combined
+         #partial-agg output grows with parallelism (measured 17.4 s @2,
+         #9.4 @4, 7.0 @8, 4.3 @16 cores on a 1M-file corpus). This is the
+         #canonical Spark high-cardinality-agg shape, not driver-serial time:
+         #on a real cluster the input splits scale with executors and the
+         #per-task universe subset shrinks correspondingly. The driver-side
+         #serial fraction that DID exist here (CompactDict assembly for the
+         #broadcast encode) now runs its char-scanning work on the common
+         #pool (parallel blob copy + hash precompute; round 5).
+         #
          #Per-query seconds @ local[$cpus] — median over $qreps full-suite reps
          #(all caches cleared between reps), with the raw [min, max] spread:
          #

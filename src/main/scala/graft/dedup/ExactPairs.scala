@@ -34,6 +34,16 @@ object ExactPairs {
     )
     val left = toks.select(col("group"), col("tok"), col("doc_id").as("a"), col("n_tokens").as("na"))
     val right = toks.select(col("group"), col("tok"), col("doc_id").as("b"), col("n_tokens").as("nb"))
+    // The rounding DELIBERATELY stays a (boxed) UDF: Spark's codegen'd
+    // bround(_, 6) is HALF_EVEN over the double's SHORTEST-DECIMAL reading
+    // (BigDecimal.valueOf), while the reference's CPython round() — which
+    // Jaccard.round6 reproduces via the exact-binary BigDecimal constructor —
+    // rounds the double's TRUE value. They disagree on decimal-exact,
+    // binary-INexact ties: round(1/640, 6) is 0.001563 in CPython (the
+    // nearest double sits just above the .0015625 tie) but 0.001562 under
+    // bround (shortest repr "0.0015625" reads as an exact tie -> even).
+    // KernelSpec pins this divergence; this is the reference-parity path,
+    // so CPython semantics win over codegen.
     val round6 = udf((d: Double) => Jaccard.round6(d))
     left
       .join(right, Seq("group", "tok"))

@@ -108,6 +108,28 @@ class KernelSpec extends SparkSpec {
     assert(Jaccard.round6(1.5e-6) == 2e-6) // exact binary value is just above the tie
   }
 
+  test("round6 is NOT Spark's bround: CPython rounds the true binary value, bround the shortest repr") {
+    // Why ExactPairs keeps its rounding UDF instead of the codegen'd
+    // bround(_, 6): the two semantics diverge on decimal-exact but
+    // binary-INexact 7th-digit ties. 1/640 = 0.0015625 exactly in decimal,
+    // but 640 = 2^7*5 is not a binary power, so the nearest double sits just
+    // ABOVE the tie: CPython's round() (and round6, which models it with the
+    // exact-binary BigDecimal constructor) rounds UP, while
+    // BigDecimal.valueOf — bround's reading — sees "0.0015625" as an exact
+    // tie and rounds to EVEN. A full sweep over quotients i/u, u <= 2000
+    // found this class (640, 1280, ...), so the swap is semantically wrong
+    // on the reference-parity path.
+    val d = 1.0 / 640.0
+    assert(Jaccard.round6(d) == 0.001563) // == CPython round(1/640, 6)
+    val viaValueOf =
+      java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_EVEN).doubleValue()
+    assert(viaValueOf == 0.001562) // bround's HALF_EVEN on the shortest repr
+    // binary-exact ties (u a power of two) agree in both readings
+    val exact = 1.0 / 128.0
+    assert(Jaccard.round6(exact) ==
+      java.math.BigDecimal.valueOf(exact).setScale(6, java.math.RoundingMode.HALF_EVEN).doubleValue())
+  }
+
   test("two-pointer intersection equals naive set intersection (property)") {
     val gen = Gen.listOf(Gen.choose(0, 200)).map(_.distinct.sorted.toArray)
     check(Prop.forAll(gen, gen) { (a: Array[Int], b: Array[Int]) =>
