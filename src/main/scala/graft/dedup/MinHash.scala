@@ -82,13 +82,42 @@ object MinHash {
         col("doc_id")
       )
 
-  /** LSH candidate pairs (a < b), deduped across bands. */
+  /** [[bandRows]] with the doc's FULL band-hash array carried per row (the
+    * input shape of the first-collision pair generator). */
+  def bandRowsWithHashes(signatures: DataFrame, cfg: Config): DataFrame =
+    signatures
+      .withColumn("bhs", BandHashes(col("minhash"), cfg))
+      .select(
+        col("group"),
+        posexplode(col("bhs")).as(Seq("band", "band_hash")),
+        col("doc_id"),
+        col("bhs")
+      )
+
+  /** LSH candidate pairs (a < b), deduped across bands.
+    *
+    * Plan choice by collision regime (both emit the SAME pair set, asserted
+    * by the PairGen spec): few rows per band (<= 2 — the oracle-equality
+    * detector configs) means a near-dup pair collides in MOST bands, so the
+    * default generator shuffles a large duplication factor into its
+    * distinct() (measured 27x / 86M raw rows on the sf0.1 queries) — the
+    * first-collision generator emits each pair once from its minimal
+    * non-oversized band instead, paying a wider band-row exchange (the
+    * carried hash array). At production banding (32x4) the measured
+    * duplication is only 1.92x and the narrow exchange wins. */
   def candidatePairs(signatures: DataFrame, cfg: Config): DataFrame =
-    PairGen.pairsFromBuckets(
-      bandRows(signatures, cfg),
-      bucketCols = Seq("group", "band", "band_hash"),
-      maxBucket = cfg.maxBucket
-    )
+    if (cfg.rowsPerBand <= 2)
+      PairGen.pairsFromBandBucketsFirstCollision(
+        bandRowsWithHashes(signatures, cfg),
+        groupCols = Seq("group"),
+        maxBucket = cfg.maxBucket
+      )
+    else
+      PairGen.pairsFromBuckets(
+        bandRows(signatures, cfg),
+        bucketCols = Seq("group", "band", "band_hash"),
+        maxBucket = cfg.maxBucket
+      )
 
   /** MinHash estimate of Jaccard from two signatures (fraction of equal
     * components) — used in tests to validate the statistical promise. */

@@ -157,4 +157,192 @@ object PairGen {
   /** Count of buckets above the cap (metrics / observability). */
   def oversizedBuckets(rows: DataFrame, bucketCols: Seq[String], maxBucket: Int): Long =
     rows.groupBy(bucketCols.map(col): _*).count().filter(col("count") > maxBucket).count()
+
+  /** Broadcastable oversized-bucket sets above this size fall back to
+    * [[pairsFromBuckets]] (correctness never depends on the fast path). */
+  val OversizedBroadcastMax: Long = 2000000L
+
+  /** FIRST-COLLISION-BAND pair generation for HIGH-COLLISION banding configs
+    * (e.g. 64 bands x 2 rows at threshold 0.5: a sim-0.9 pair collides in
+    * ~52 of 64 bands, so [[pairsFromBuckets]] shuffles ~27 duplicate rows
+    * per distinct pair into its distinct() — measured 86M raw vs 3.2M
+    * distinct on the sf0.1 detector queries). Each band row carries the
+    * doc's FULL band-hash array (`bhs`), and a pair is emitted only in the
+    * minimal band where the two docs collide in a NON-oversized bucket —
+    * so the generator's output is already (nearly) duplicate-free and the
+    * final distinct shuffles ~1x the pair set.
+    *
+    * The emitted pair SET is identical to [[pairsFromBuckets]]:
+    *  - oversized buckets chain-link exactly as before (unfiltered; the
+    *    final distinct removes cross-mode duplicates);
+    *  - the first-collision filter treats collisions inside oversized
+    *    buckets as non-emitting (those buckets emitted chains, not pairs),
+    *    via a broadcast of the oversized bucket keys — rare by design
+    *    (boilerplate caps keep buckets small; the bench measures 0), and if
+    *    their count exceeds [[OversizedBroadcastMax]] the function falls
+    *    back to [[pairsFromBuckets]] wholesale.
+    *
+    * NOT the default: carrying `bands` hashes per band row multiplies the
+    * exchange width, which only pays when the duplication factor is large.
+    * Measured: production 32x4 config dup factor 1.92 (keep
+    * pairsFromBuckets); oracle 64x2 config dup factor 27 (use this).
+    *
+    * rows: groupCols ++ (band: int, band_hash: long, doc_id, bhs:
+    * array<long> — the doc's hash per band, indexed by `band`). */
+  def pairsFromBandBucketsFirstCollision(
+      rows: DataFrame,
+      groupCols: Seq[String],
+      maxBucket: Int
+  ): DataFrame = {
+    val keyCols = groupCols ++ Seq("band", "band_hash")
+    val keys = keyCols.map(col)
+    val spark = rows.sparkSession
+    import spark.implicits._
+
+    val oversizedDf = rows
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
+      .select(keys: _*)
+    val oversizedRows = oversizedDf.limit((OversizedBroadcastMax + 1).toInt).collect()
+    if (oversizedRows.length > OversizedBroadcastMax)
+      return pairsFromBuckets(rows.drop("bhs"), keyCols, maxBucket)
+    val nGroup = groupCols.length
+    val oversized: Set[(String, Int, Long)] = oversizedRows.map { r =>
+      val g = (0 until nGroup).map(i => String.valueOf(r.get(i))).mkString("\u0001")
+      (g, r.getInt(nGroup), r.getLong(nGroup + 1))
+    }.toSet
+    val bOversized = spark.sparkContext.broadcast(oversized)
+
+    val prepared = rows
+      .select(keys ++ Seq(col("doc_id").cast("long").as("doc_id"), col("bhs")): _*)
+      .repartition(keys: _*)
+      .sortWithinPartitions(keys :+ col("doc_id"): _*)
+    val docIdx = keyCols.length
+    val bhsIdx = docIdx + 1
+    val bandIdx = nGroup
+    val cap = maxBucket
+    prepared
+      .mapPartitions { it =>
+        val over = bOversized.value
+        new Iterator[(Long, Long)] {
+          private val ids = new ArrayBuffer[Long]()
+          private val sigs = new ArrayBuffer[Array[Long]]()
+          private val curKey = new Array[Any](keyCols.length)
+          private var curGroup: String = null
+          private var curBand: Int = 0
+          private var haveKey = false
+          private var chain = false
+          private var pending: Iterator[(Long, Long)] = Iterator.empty
+
+          private def sameKey(r: org.apache.spark.sql.Row): Boolean = {
+            var i = 0
+            while (i < curKey.length) {
+              if (r.get(i) != curKey(i)) return false
+              i += 1
+            }
+            true
+          }
+
+          /** Pair survives iff no band before `band` holds BOTH docs in a
+            * small (pair-emitting) bucket. */
+          private def firstCollisionAt(
+              a: Array[Long], b: Array[Long], band: Int, group: String): Boolean = {
+            var k = 0
+            while (k < band) {
+              if (a(k) == b(k) && !over.contains((group, k, a(k)))) return false
+              k += 1
+            }
+            true
+          }
+
+          private def fullPairs(): Iterator[(Long, Long)] = {
+            val n = ids.length
+            if (n < 2) Iterator.empty
+            else {
+              // snapshot EVERYTHING the lazy iterator reads: the pending
+              // iterator is consumed after advance() has already moved
+              // curBand/curGroup to the NEXT bucket
+              val myIds = ids.toArray
+              val mySigs = sigs.toArray
+              val myBand = curBand
+              val myGroup = curGroup
+              (0 until n - 1).iterator.flatMap { i =>
+                (i + 1 until n).iterator
+                  .filter(j => firstCollisionAt(mySigs(i), mySigs(j), myBand, myGroup))
+                  .map(j => (myIds(i), myIds(j)))
+              }
+            }
+          }
+
+          /** Chain rows keep pairsFromBuckets semantics exactly: unfiltered,
+            * <=ChainWidth forward neighbors, orientation fixed here (ids
+            * ascend within a bucket, so earlier-buffered < current). */
+          private def chainPairsFor(id: Long): Iterator[(Long, Long)] = {
+            val from = math.max(0, ids.length - ChainWidth)
+            ids.slice(from, ids.length).map(p => (p, id)).iterator
+          }
+
+          private def flushBucket(): Iterator[(Long, Long)] =
+            if (!chain && ids.length > 1) fullPairs() else Iterator.empty
+
+          private def advance(): Unit = {
+            while (!pending.hasNext && it.hasNext) {
+              val r = it.next()
+              val id = r.getLong(docIdx)
+              val bhs = r.getSeq[Long](bhsIdx).toArray
+              if (!haveKey || !sameKey(r)) {
+                pending = flushBucket()
+                var i = 0
+                while (i < curKey.length) { curKey(i) = r.get(i); i += 1 }
+                curGroup = (0 until nGroup).map(i => String.valueOf(r.get(i))).mkString("\u0001")
+                curBand = r.getInt(bandIdx)
+                haveKey = true
+                chain = false
+                ids.clear(); sigs.clear()
+                ids += id; sigs += bhs
+              } else if (chain) {
+                pending = chainPairsFor(id)
+                ids += id
+                if (ids.length > ChainWidth) ids.remove(0, ids.length - ChainWidth)
+                sigs.clear() // chain mode never consults signatures
+              } else {
+                ids += id; sigs += bhs
+                if (ids.length > cap) {
+                  // bucket crossed the cap: chain-link the buffered prefix
+                  // exactly like pairsFromBuckets (unfiltered)
+                  chain = true
+                  val snapshot = ids.toArray
+                  pending = (0 until snapshot.length - 1).iterator.flatMap { i =>
+                    (i + 1 until math.min(i + 1 + ChainWidth, snapshot.length)).iterator
+                      .map(j => (snapshot(i), snapshot(j)))
+                  }
+                  ids.clear()
+                  ids ++= snapshot.takeRight(ChainWidth)
+                  sigs.clear()
+                }
+              }
+            }
+            if (!pending.hasNext && !it.hasNext && haveKey) {
+              pending = flushBucket()
+              haveKey = false
+              ids.clear(); sigs.clear()
+            }
+          }
+
+          def hasNext: Boolean = {
+            if (!pending.hasNext) advance()
+            pending.hasNext
+          }
+          def next(): (Long, Long) = {
+            if (!hasNext) throw new NoSuchElementException
+            pending.next()
+          }
+        }
+      }
+      .toDF("a", "b")
+      // near-duplicate-free already; distinct removes chain/full overlaps
+      // over ~1x the pair set instead of the raw band-collision volume
+      .distinct()
+  }
 }

@@ -124,6 +124,37 @@ class TopNSpec extends SparkSpec {
     assert(PairGen.oversizedBuckets(rows, Seq("group", "band", "band_hash"), 100) == 1)
   }
 
+  test("PairGen: first-collision generator emits the same pair set as the default, with and without oversized buckets") {
+    // randomized signatures: 40 docs x 8 bands, hash values drawn from a
+    // small space so bands collide often (high duplication — the regime the
+    // first-collision path exists for) and some buckets exceed tiny caps
+    val rnd = new scala.util.Random(7)
+    val bands = 8
+    val docs = (1L to 40L).map { id =>
+      // clusters of 4 share most band hashes -> heavy cross-band duplication
+      val base = Array.tabulate(bands)(b => ((id / 4) * 31 + b * 7).toLong % 5)
+      val noisy = base.clone()
+      noisy(rnd.nextInt(bands)) = rnd.nextInt(5).toLong
+      (id, noisy)
+    }
+    val groups = Seq("g1", "g2")
+    val rowsSeq = for {
+      (id, bhs) <- docs
+      g = groups((id % 2).toInt)
+      b <- 0 until bands
+    } yield (g, b, bhs(b), id, bhs.toSeq)
+    val rows = rowsSeq.toDF("group", "band", "band_hash", "doc_id", "bhs")
+    for (cap <- Seq(2, 5, 1000)) { // 2/5 force chain-linked oversized buckets
+      val want = PairGen
+        .pairsFromBuckets(rows.drop("bhs"), Seq("group", "band", "band_hash"), cap)
+        .as[(Long, Long)].collect().toSet
+      val got = PairGen
+        .pairsFromBandBucketsFirstCollision(rows, Seq("group"), cap)
+        .as[(Long, Long)].collect().toSet
+      assert(got == want, s"pair sets differ at cap=$cap: extra=${got -- want}, missing=${want -- got}")
+    }
+  }
+
   test("PairGen: cap boundary — exactly maxBucket is full expansion, cap+1 chains") {
     def bucket(hash: Long, n: Long) = (1L to n).map(i => ("g", "b0", hash, i))
     // bucket 0: size == cap (full pairs); bucket 1: size == cap+1 (chained)
