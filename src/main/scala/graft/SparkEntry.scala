@@ -567,14 +567,16 @@ object SparkEntry {
       // 3-gram Jaccard at 0.2, through the same prefix-filtered exact join
       // as the token pairs (no min-df prune on grams — df >= 1).
       val d = t(s, dir, "documents")
-      val ws = TextAnalysis.words(col("text"))
-      // persisted: the regex word split + shingle transform dominates this
-      // query and the gram table is consumed three times (see docPairsBy)
+      // persisted: gram building dominates this query and the gram table is
+      // consumed three times (see docPairsBy). The compiled WordGramSet
+      // kernel replaced the round-4 regexp + interpreted higher-order
+      // transform + array_distinct chain (its first materialization was
+      // ~7.5 s of the query's ~6 s median at sf0.1).
       val grams = transientReg.persist(d
         .select(
           col("doc_id"),
           col("lang"),
-          explode(array_distinct(Tokenize.shingles(ws, 3))).as("gram")
+          explode(graft.dedup.WordGramSet(col("text"), 3)).as("gram")
         ))
       val gdf = grams.groupBy("gram").agg(count(lit(1)).as("df"))
       pairsWithPrefixFilter(grams, gdf, "gram", 0.2, Seq("lang"))

@@ -52,3 +52,77 @@ case class TokenSet(child: Expression, k: Int) extends UnaryExpression {
 object TokenSet {
   def apply(c: Column, k: Int): Column = GraftBridge.column(TokenSet(GraftBridge.expression(c), k))
 }
+
+/** Static kernel for the SIMPLE-WORD k-gram set (the text-analysis family's
+  * tokenizer, not the reference one): Spark-exact lowercase
+  * (UTF8String.toLowerCase — the same locale-independent mapping `lower()`
+  * uses, including its non-ASCII-to-ASCII cases like Kelvin K -> k), ASCII
+  * `[a-z0-9]+` runs, space-joined k-grams, first-occurrence dedup — one
+  * compiled pass replacing regexp_extract_all + interpreted higher-order
+  * transform + array_distinct (the round-4 q16/q20 hot path).
+  *
+  * `padShort`: with fewer than k words, emit the single space-joined word
+  * list (the fingerprint fallback) instead of an empty set. */
+object WordGramKernel {
+  def eval(s0: UTF8String, k: Int, padShort: Boolean): ArrayData = {
+    val s = s0.toLowerCase.toString
+    val n = s.length
+    val words = new scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        var j = i + 1
+        while (j < n && {
+          val d = s.charAt(j); (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+        }) j += 1
+        words += s.substring(i, j)
+        i = j
+      } else i += 1
+    }
+    val out = new java.util.LinkedHashSet[String]()
+    if (k <= 1) words.foreach(out.add)
+    else if (words.length >= k) {
+      val sb = new java.lang.StringBuilder
+      var w = 0
+      while (w + k <= words.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) { if (j > 0) sb.append(' '); sb.append(words(w + j)); j += 1 }
+        out.add(sb.toString)
+        w += 1
+      }
+    } else if (padShort) out.add(words.mkString(" "))
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var e = 0
+    while (it.hasNext) { arr(e) = UTF8String.fromString(it.next()); e += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
+/** Codegen'd simple-word k-gram set — see [[WordGramKernel]]. */
+case class WordGramSet(child: Expression, k: Int, padShort: Boolean) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"word_gram_set expects string, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(s: Any): Any =
+    WordGramKernel.eval(s.asInstanceOf[UTF8String], k, padShort)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = graft.dedup.WordGramKernel.eval($s, $k, $padShort);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_gram_set"
+}
+
+object WordGramSet {
+  def apply(c: Column, k: Int, padShort: Boolean = false): Column =
+    GraftBridge.column(WordGramSet(GraftBridge.expression(c), k, padShort))
+}

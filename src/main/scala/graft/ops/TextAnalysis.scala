@@ -71,17 +71,13 @@ object TextAnalysis {
   /** Document fingerprint: the minimum MD5 over word 3-gram shingles — a
     * winnowing-style content fingerprint that is stable under small appends
     * and identical across engines (md5 + lexicographic min are portable). */
-  def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val ws = words(col(textCol))
-    val grams = when(
-      size(ws) >= 3,
-      transform(
-        sequence(lit(1), size(ws) - lit(2)),
-        i => concat_ws(" ", slice(ws, i, lit(3)))
-      )
-    ).otherwise(array(concat_ws(" ", ws)))
-    df.select(col("doc_id"), explode(grams).as("gram"))
+  def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame =
+    // compiled word-gram kernel (distinct grams — min() is dedup-blind);
+    // padShort reproduces the <3-words fallback: one space-joined gram
+    df.select(
+      col("doc_id"),
+      explode(graft.dedup.WordGramSet(col(textCol), 3, padShort = true)).as("gram")
+    )
       .groupBy("doc_id")
       .agg(min(md5(col("gram"))).as("fingerprint"))
-  }
 }

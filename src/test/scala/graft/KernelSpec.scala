@@ -108,6 +108,47 @@ class KernelSpec extends SparkSpec {
     assert(Jaccard.round6(1.5e-6) == 2e-6) // exact binary value is just above the tie
   }
 
+  test("WordGramSet equals the built-ins chain (regexp + transform + distinct), incl. non-ASCII lowercase") {
+    val texts = Seq(
+      "The quick brown fox jumps over the lazy dog 42 times",
+      "a b", "", "  --- !!! ", "single",
+      "Kelvin K sign and dotted İstanbul i̇ test", // lower() maps U+212A -> k
+      "ÅÉÎØÜ mixed CASE words 123abc456 x9y",
+      "repeat repeat repeat repeat gram gram gram",
+      "tabs\tand\nnewlines  and   runs-of-punct.,;:!?"
+    ).toDF("text")
+    for (k <- Seq(1, 2, 3)) {
+      val ws = graft.ops.TextAnalysis.words(col("text"))
+      val builtins = array_distinct(Tokenize.shingles(ws, k))
+      val rows = texts
+        .select(
+          WordGramSet(col("text"), k).as("kernel"),
+          builtins.as("builtins")
+        )
+        .as[(Seq[String], Seq[String])]
+        .collect()
+      rows.zipWithIndex.foreach { case ((kr, br), i) =>
+        assert(kr == br, s"k=$k row $i: kernel=$kr builtins=$br")
+      }
+    }
+    // padShort mode = the fingerprint fallback (space-joined word list)
+    val padded = texts
+      .select(
+        WordGramSet(col("text"), 3, padShort = true).as("kernel"),
+        array_distinct(
+          when(
+            size(graft.ops.TextAnalysis.words(col("text"))) >= 3,
+            Tokenize.shingles(graft.ops.TextAnalysis.words(col("text")), 3)
+          ).otherwise(array(concat_ws(" ", graft.ops.TextAnalysis.words(col("text")))))
+        ).as("builtins")
+      )
+      .as[(Seq[String], Seq[String])]
+      .collect()
+    padded.zipWithIndex.foreach { case ((kr, br), i) =>
+      assert(kr == br, s"padShort row $i: kernel=$kr builtins=$br")
+    }
+  }
+
   test("round6 is NOT Spark's bround: CPython rounds the true binary value, bround the shortest repr") {
     // Why ExactPairs keeps its rounding UDF instead of the codegen'd
     // bround(_, 6): the two semantics diverge on decimal-exact but
