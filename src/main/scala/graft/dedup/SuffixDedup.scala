@@ -1,7 +1,12 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Substring near-clone detection — the third detector of the north_star
   * design ("suffix-array-based substring dedup"): catches one file embedded
@@ -208,14 +213,16 @@ object SuffixDedup {
       cfg: SubConfig = SubConfig(),
       reg: CacheRegistry = CacheRegistry.unmanaged
   ): DataFrame = {
-    val k = cfg.k; val w = cfg.window
-    val fpUdf = udf((content: String) => fingerprints(content, k, w))
-    // persisted: the rolling-hash + winnow UDF dominates candidate cost and
-    // the fingerprint table is consumed twice (df cap aggregate + anti
+    // persisted: the rolling-hash + winnow kernel dominates candidate cost
+    // and the fingerprint table is consumed twice (df cap aggregate + anti
     // join); Spark's cache manager also shares this plan across the q31
     // family in one session. Lifetime is caller-owned via `reg`.
     val fps = reg.persist(
-      docs.select(col("doc_id"), col("group"), explode(fpUdf(col("content"))).as("fp"))
+      docs.select(
+        col("doc_id"),
+        col("group"),
+        explode(WinnowFingerprints(col("content"), cfg.k, cfg.window)).as("fp")
+      )
     )
 
     // boilerplate cap: drop fingerprints shared by too many docs
@@ -226,13 +233,17 @@ object SuffixDedup {
   }
 
   /** docs: (doc_id, group, content). Returns (group, a, b, lcs_len,
-    * containment) for pairs sharing a verified substring >= minMatch chars. */
+    * containment) for pairs sharing a verified substring >= minMatch chars.
+    * `precomputedCandidates` lets a caller that already materialized
+    * [[candidatePairs]] (e.g. a cached cross-query table) skip rebuilding
+    * the winnow chain. */
   def run(
       docs: DataFrame,
       cfg: SubConfig = SubConfig(),
-      reg: CacheRegistry = CacheRegistry.unmanaged
+      reg: CacheRegistry = CacheRegistry.unmanaged,
+      precomputedCandidates: Option[DataFrame] = None
   ): DataFrame = {
-    val candidates = candidatePairs(docs, cfg, reg)
+    val candidates = precomputedCandidates.getOrElse(candidatePairs(docs, cfg, reg))
     val minMatch = cfg.minMatch
     val lcsUdf = udf((x: String, y: String) =>
       if (x.length <= y.length) lcsLen(x, y) else lcsLen(y, x)
@@ -250,4 +261,40 @@ object SuffixDedup {
       )
       .select(col("group"), col("a"), col("b"), col("lcs_len"), col("containment"))
   }
+}
+
+/** Static kernel twin of [[SuffixDedup.fingerprints]] returning Tungsten
+  * primitive array data (no boxing on the output path). */
+object WinnowKernel {
+  def eval(s: UTF8String, k: Int, window: Int): UnsafeArrayData =
+    UnsafeArrayData.fromPrimitiveArray(SuffixDedup.fingerprints(s.toString, k, window))
+}
+
+/** Codegen'd winnowing-fingerprint expression — replaces the ScalaUDF this
+  * path carried through round 4 (the last UDF on a detector candidate path):
+  * the generated code calls the kernel directly on the Tungsten UTF8String,
+  * skipping the UDF's per-row String/Seq conversion and boxed array return. */
+case class WinnowFingerprints(child: Expression, k: Int, window: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"winnow_fps expects string, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(s: Any): Any =
+    WinnowKernel.eval(s.asInstanceOf[UTF8String], k, window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = graft.dedup.WinnowKernel.eval($s, $k, $window);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "winnow_fps"
+}
+
+object WinnowFingerprints {
+  def apply(c: Column, k: Int, window: Int): Column =
+    GraftBridge.column(WinnowFingerprints(GraftBridge.expression(c), k, window))
 }
