@@ -658,7 +658,7 @@ object SparkEntry {
       // ids + rank only (the cosine double is an order-dependent aggregate);
       // the oracle reproduces the sketch from the literal hyperplane matrix
       Similarity
-        .lshCosineTopK(t(s, dir, "embeddings"), k = 3, dim = 64)
+        .lshCosineTopK(t(s, dir, "embeddings"), k = 3, dim = 64, reg = transientReg)
         .select(col("vec_id"), col("neighbor"), col("rank").cast("long").as("rnk"))),
     // IVF-flat ANN: deterministic coarse quantizer (first max(16, ceil
     // sqrt(n)) vectors as centroids), nProbe=4 inverted-list probe, exact

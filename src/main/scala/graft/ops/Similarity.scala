@@ -223,8 +223,17 @@ object Similarity {
 
   /** Sign-bit sketch: bit i = sign(dot(v, hyperplane_i)), hyperplanes drawn
     * deterministically from `seed`. Collision probability of a bit is
-    * 1 - theta/pi (Charikar '02). */
-  def hyperplaneSketch(embeddings: DataFrame, dim: Int, planes: Int, seed: Long): DataFrame = {
+    * 1 - theta/pi (Charikar '02). One compiled kernel pass — the round-4
+    * version composed `planes` interpreted aggregate(zip_with(...)) columns,
+    * i.e. 32 higher-order re-walks of the embedding per row outside codegen
+    * ([[HyperplaneSketch]] pins dot-product order so the SQL oracle's sums
+    * stay bit-identical). */
+  def hyperplaneSketch(embeddings: DataFrame, dim: Int, planes: Int, seed: Long): DataFrame =
+    embeddings.withColumn("sketch", HyperplaneSketch(col("embedding"), dim, planes, seed))
+
+  /** The interpreted built-ins twin of [[hyperplaneSketch]] (test oracle for
+    * the kernel's bit-exactness, including the length-mismatch null case). */
+  def hyperplaneSketchBuiltins(embeddings: DataFrame, dim: Int, planes: Int, seed: Long): DataFrame = {
     val hp = hyperplanes(dim, planes, seed)
     val sketch = (0 until planes)
       .map { p =>
@@ -249,12 +258,16 @@ object Similarity {
       planes: Int = 32,
       blocks: Int = 4,
       maxBucket: Int = 2000,
-      seed: Long = 42L
+      seed: Long = 42L,
+      reg: graft.dedup.CacheRegistry = graft.dedup.CacheRegistry.unmanaged
   ): DataFrame = {
     require(planes % blocks == 0 && planes <= 64)
     val bits = planes / blocks
-    val sk = hyperplaneSketch(embeddings, dim, planes, seed)
-      .select(col("vec_id").as("doc_id"), col("embedding"), col("sketch"))
+    // persisted: consumed by the block-bucket pass AND both re-rank sides
+    val sk = reg.persist(
+      hyperplaneSketch(embeddings, dim, planes, seed)
+        .select(col("vec_id").as("doc_id"), col("embedding"), col("sketch"))
+    )
     val blockCols = array((0 until blocks).map { b =>
       shiftrightunsigned(col("sketch"), b * bits).bitwiseAND(lit((1L << bits) - 1))
     }: _*)
@@ -267,9 +280,11 @@ object Similarity {
     val pairs = cand
       .join(va, "a")
       .join(vb, "b")
-      .withColumn("cosine", cosine(col("va"), col("vb")))
-      // zero-norm embeddings yield NaN: drop, matching the exact paths
-      .filter(col("cosine").isNotNull)
+      // codegen'd kernel, bit-equal to the Column cosine (same index-ordered
+      // double sums); zero-norm sides come back NaN instead of NULL — both
+      // mean "no defined cosine" and both are dropped here
+      .withColumn("cosine", graft.dedup.CosineFloat(col("va"), col("vb")))
+      .filter(!isnan(col("cosine")))
       .select(col("a"), col("b"), col("cosine"))
     val sym = pairs
       .select(col("a").as("vec_id"), col("b").as("neighbor"), col("cosine"))
@@ -478,4 +493,72 @@ object Similarity {
       .filter(col("cosine") >= minCosine)
       .select(col("a"), col("b"), col("cosine"))
   }
+}
+
+/** Static kernel for the sign-bit hyperplane sketch. Semantics are EXACTLY
+  * the interpreted aggregate(zip_with(cast-to-double multiply)) chain it
+  * replaced: index-ordered left-to-right double sums (so the SQL oracle's
+  * list_sum reproduces every dot product bit-for-bit), bit p set iff
+  * d >= 0 (NaN and the zip_with length-mismatch null both leave it clear). */
+object SketchKernel {
+  def eval(emb: org.apache.spark.sql.catalyst.util.ArrayData, hp: Array[Array[Double]]): Long = {
+    var out = 0L
+    var p = 0
+    while (p < hp.length) {
+      val plane = hp(p)
+      if (emb.numElements() == plane.length) {
+        var d = 0.0
+        var i = 0
+        while (i < plane.length) { d += emb.getFloat(i).toDouble * plane(i); i += 1 }
+        if (d >= 0) out |= (1L << p)
+      }
+      p += 1
+    }
+    out
+  }
+}
+
+/** Codegen'd hyperplane sketch over array<float> — see [[SketchKernel]].
+  * The (dim, planes, seed) parameters regenerate the gaussian matrix
+  * deterministically per executor (primitive params keep Catalyst's
+  * expression equality semantics intact). */
+case class HyperplaneSketch(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    dim: Int,
+    planes: Int,
+    seed: Long
+) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types._
+
+  @transient private lazy val hp: Array[Array[Double]] =
+    Similarity.hyperplanes(dim, planes, seed)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"hyperplane_sketch expects array<float>, got $t")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(e: Any): Any =
+    SketchKernel.eval(e.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], hp)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val hpRef = ctx.addReferenceObj("hp", hp, "double[][]")
+    nullSafeCodeGen(ctx, ev, e => s"${ev.value} = graft.ops.SketchKernel.eval($e, $hpRef);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): HyperplaneSketch =
+    copy(child = newChild)
+
+  override def prettyName: String = "hyperplane_sketch"
+}
+
+object HyperplaneSketch {
+  def apply(c: Column, dim: Int, planes: Int, seed: Long): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      HyperplaneSketch(org.apache.spark.sql.GraftBridge.expression(c), dim, planes, seed))
 }

@@ -46,6 +46,21 @@ class OpsSpec extends SparkSpec {
     assert(recall > 0.3, s"top-1 recall $recall suspiciously low")
   }
 
+  test("HyperplaneSketch kernel is bit-identical to the interpreted builtins chain") {
+    for ((planes, seed) <- Seq((32, 42L), (16, 7L))) {
+      val kernel = Similarity.hyperplaneSketch(embeddings, dim = 64, planes = planes, seed = seed)
+        .select("vec_id", "sketch").as[(Long, Long)].collect().toMap
+      val builtins = Similarity.hyperplaneSketchBuiltins(embeddings, dim = 64, planes = planes, seed = seed)
+        .select("vec_id", "sketch").as[(Long, Long)].collect().toMap
+      assert(kernel == builtins, s"sketches diverge at planes=$planes seed=$seed")
+    }
+    // length-mismatch embeddings sketch to 0 (the zip_with null semantics)
+    val odd = Seq((1L, Array(1.0f, 2.0f)), (2L, Array.fill(64)(0.5f))).toDF("vec_id", "embedding")
+    val skOdd = Similarity.hyperplaneSketch(odd, dim = 64, planes = 8, seed = 1L)
+      .select("vec_id", "sketch").as[(Long, Long)].collect().toMap
+    assert(skOdd(1L) == 0L, "short embedding must sketch to 0 like the null-padded builtins")
+  }
+
   test("IVF-flat top-k: deterministic, and probing more lists converges on the exact top-1") {
     val exact = Similarity
       .cosineTopK(embeddings, 1)
