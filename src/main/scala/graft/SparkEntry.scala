@@ -675,9 +675,21 @@ object SparkEntry {
     // distinct-doc count (reference "Patents" column, main_closest.py:305-314).
     // avg_sim is deliberately not emitted: order-dependent float aggregate.
     "q32_two_key_stats" -> ((s, dir) => {
+      // (lang, source) pairs are a strict SUBSET of the memoized within-lang
+      // exact pair table: the extra grouping key affects neither the token
+      // sets nor the global df >= 2 universe, so every (lang, source) pair
+      // appears in the lang table with an identical sim — filter the shared
+      // table on equal source (two joins against the skinny doc→source map;
+      // AQE broadcasts it when it fits, shuffles when the corpus doesn't)
+      // instead of re-running the all-pairs join per query. Null sources
+      // drop on `===` exactly as they did on the old equi-join key.
       val keys = Seq("lang", "source")
-      val p = docPairsBy(t(s, dir, "documents"), 0.5, keys, prefixFilter = false)
-        .select(col("lang"), col("source"), col("a"), col("b"), col("sim"))
+      val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val p = exactPairsCached(s, dir)
+        .join(src.select(col("doc_id").as("a"), col("source").as("sa")), "a")
+        .join(src.select(col("doc_id").as("b"), col("source").as("sb")), "b")
+        .filter(col("sa") === col("sb"))
+        .select(col("lang"), col("sa").as("source"), col("a"), col("b"), col("sim"))
       val stats = graft.dedup.TopN.groupStats(p, keys)
       stats.select(
         col("lang"),

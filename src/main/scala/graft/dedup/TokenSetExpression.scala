@@ -126,3 +126,136 @@ object WordGramSet {
   def apply(c: Column, k: Int, padShort: Boolean = false): Column =
     GraftBridge.column(WordGramSet(GraftBridge.expression(c), k, padShort))
 }
+
+/** Static kernel: min(md5(gram)) over the simple-word k-grams of a document
+  * (the q20 content fingerprint) in ONE compiled pass. Equivalent to
+  * `explode(WordGramSet(text, k, padShort=true))` -> `groupBy(min(md5(g)))`
+  * but per-row: no gram-array materialization, no explode fan-out, and — the
+  * real win — no shuffle/agg (the old plan exchanged every gram row to
+  * regroup by doc).
+  *
+  * Digest-order equivalence: Spark's `md5()` emits lowercase hex, and min()
+  * on strings is unsigned-byte lexicographic. Hex is an order-preserving,
+  * fixed-length encoding of the 16 digest bytes ('0'-'9' < 'a'-'f' in ASCII
+  * tracks nibble order), so comparing RAW digests unsigned-lexicographically
+  * picks the same winner; only the winner is hex-encoded. min() is
+  * dedup-blind, so WordGramSet's first-occurrence dedup is irrelevant here.
+  * padShort fallback (< k words, possibly zero): digest the single
+  * space-joined word list, exactly as WordGramSet(padShort=true) emits. */
+object MinGramMd5Kernel {
+  private val tlMd = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HEX = "0123456789abcdef".toCharArray
+  private val SPACE = ' '.toByte
+
+  def eval(s0: UTF8String, k: Int): UTF8String = {
+    // word scan identical to WordGramKernel (lowercase, ASCII [a-z0-9]+ runs)
+    val s = s0.toLowerCase.toString
+    val n = s.length
+    val words = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        var j = i + 1
+        while (j < n && {
+          val d = s.charAt(j); (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+        }) j += 1
+        // runs are pure ASCII by construction: byte-per-char encode
+        val w = new Array[Byte](j - i)
+        var b = 0
+        while (b < w.length) { w(b) = s.charAt(i + b).toByte; b += 1 }
+        words += w
+        i = j
+      } else i += 1
+    }
+    val md = tlMd.get()
+    var best: Array[Byte] = null
+    def consider(d: Array[Byte]): Unit = {
+      if (best == null) best = d
+      else {
+        var p = 0
+        var cmp = 0
+        while (p < 16 && cmp == 0) {
+          cmp = (d(p) & 0xff) - (best(p) & 0xff); p += 1
+        }
+        if (cmp < 0) best = d
+      }
+    }
+    val kk = math.max(k, 1)
+    if (words.length >= kk) {
+      var w = 0
+      while (w + kk <= words.length) {
+        md.reset()
+        var j = 0
+        while (j < kk) {
+          if (j > 0) md.update(SPACE)
+          md.update(words(w + j))
+          j += 1
+        }
+        consider(md.digest())
+        w += 1
+      }
+    } else if (k >= 2) {
+      // padShort fallback: one gram = space-joined words (maybe empty).
+      // WordGramSet only consults padShort for k >= 2; at k <= 1 a wordless
+      // doc has an EMPTY gram set, which explode drops — mirrored here by
+      // the null return below.
+      md.reset()
+      var j = 0
+      while (j < words.length) {
+        if (j > 0) md.update(SPACE)
+        md.update(words(j))
+        j += 1
+      }
+      consider(md.digest())
+    }
+    if (best == null) return null
+    val hex = new Array[Byte](32)
+    var p = 0
+    while (p < 16) {
+      hex(2 * p) = HEX((best(p) >> 4) & 0xf).toByte
+      hex(2 * p + 1) = HEX(best(p) & 0xf).toByte
+      p += 1
+    }
+    UTF8String.fromBytes(hex)
+  }
+}
+
+/** Codegen'd single-pass document fingerprint — see [[MinGramMd5Kernel]]. */
+case class MinGramMd5(child: Expression, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"min_gram_md5 expects string, got ${child.dataType}")
+
+  override def dataType: DataType = StringType
+
+  // null also for a NON-null wordless doc at k <= 1 (empty gram set —
+  // mirrors explode(WordGramSet) dropping the row), not just null input
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(s: Any): Any =
+    MinGramMd5Kernel.eval(s.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      s =>
+        s"""${ev.value} = graft.dedup.MinGramMd5Kernel.eval($s, $k);
+           |${ev.isNull} = ${ev.value} == null;""".stripMargin
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "min_gram_md5"
+}
+
+object MinGramMd5 {
+  def apply(c: Column, k: Int): Column =
+    GraftBridge.column(MinGramMd5(GraftBridge.expression(c), k))
+}

@@ -72,12 +72,10 @@ object TextAnalysis {
     * winnowing-style content fingerprint that is stable under small appends
     * and identical across engines (md5 + lexicographic min are portable). */
   def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame =
-    // compiled word-gram kernel (distinct grams — min() is dedup-blind);
-    // padShort reproduces the <3-words fallback: one space-joined gram
-    df.select(
-      col("doc_id"),
-      explode(graft.dedup.WordGramSet(col(textCol), 3, padShort = true)).as("gram")
-    )
-      .groupBy("doc_id")
-      .agg(min(md5(col("gram"))).as("fingerprint"))
+    // single-pass compiled kernel: min(md5(gram)) per row — no gram explode,
+    // no shuffle/agg (the old plan exchanged every gram row to regroup by
+    // doc). The isNotNull filter preserves the explode plan's semantics of
+    // dropping null-text docs rather than emitting a null fingerprint.
+    df.filter(col(textCol).isNotNull)
+      .select(col("doc_id"), graft.dedup.MinGramMd5(col(textCol), 3).as("fingerprint"))
 }

@@ -149,6 +149,30 @@ class KernelSpec extends SparkSpec {
     }
   }
 
+  test("MinGramMd5 equals explode(WordGramSet) + min(md5(gram))") {
+    val texts = Seq(
+      "The quick brown fox jumps over the lazy dog 42 times",
+      "a b", "", "  --- !!! ", "single",
+      "Kelvin K sign and dotted İstanbul i̇ test",
+      "ÅÉÎØÜ mixed CASE words 123abc456 x9y",
+      "repeat repeat repeat repeat gram gram gram",
+      "tabs\tand\nnewlines  and   runs-of-punct.,;:!?"
+    ).zipWithIndex.map(_.swap).toDF("doc_id", "text")
+    for (k <- Seq(1, 2, 3)) {
+      // null fp = empty gram set (wordless doc at k=1) = the row explode drops
+      val kernel = texts
+        .select(col("doc_id"), graft.dedup.MinGramMd5(col("text"), k).as("fp"))
+        .filter(col("fp").isNotNull)
+      val reference = texts
+        .select(col("doc_id"), explode(WordGramSet(col("text"), k, padShort = true)).as("gram"))
+        .groupBy("doc_id")
+        .agg(min(md5(col("gram"))).as("fp"))
+      val got = kernel.as[(Int, String)].collect().toMap
+      val want = reference.as[(Int, String)].collect().toMap
+      assert(got == want, s"k=$k: kernel=$got reference=$want")
+    }
+  }
+
   test("round6 is NOT Spark's bround: CPython rounds the true binary value, bround the shortest repr") {
     // Why ExactPairs keeps its rounding UDF instead of the codegen'd
     // bround(_, 6): the two semantics diverge on decimal-exact but
