@@ -51,7 +51,17 @@ object Plans {
       "LSH candidate pairs (band explode + bucket pairing)" ->
         MinHash.candidatePairs(sigs, cfg),
       "verify (candidates x encoded x encoded + jaccard kernel)" ->
-        Jaccard.verify(MinHash.candidatePairs(sigs, cfg), encoded, cfg.threshold)
+        Jaccard.verify(MinHash.candidatePairs(sigs, cfg), encoded, cfg.threshold),
+      "q16_ngram_jaccard (compiled WordGramSet kernel + PPJoin over 3-gram sets)" ->
+        SparkEntry.queries("q16_ngram_jaccard")(spark, sf),
+      "q20_fingerprint (single-pass MinGramMd5 kernel, no explode/groupBy)" ->
+        SparkEntry.queries("q20_fingerprint")(spark, sf),
+      "q23_lsh_pairs (first-collision-band candidates at the 64x2 oracle config)" ->
+        SparkEntry.queries("q23_lsh_pairs")(spark, sf),
+      "q28_lsh_cosine_top3 (compiled HyperplaneSketch + CosineFloat re-rank)" ->
+        SparkEntry.queries("q28_lsh_cosine_top3")(spark, sf),
+      "q31a_winnow_candidates (native WinnowFingerprints over UTF8String)" ->
+        SparkEntry.queries("q31a_winnow_candidates")(spark, sf)
     )
 
     val md = new StringBuilder("# Physical plans (explain formatted)\n")
