@@ -165,7 +165,7 @@ object Bench {
     (secs, stageWalls, metrics)
   }
 
-  private def median(xs: Seq[Double]): Double = {
+  private[graft] def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
@@ -214,10 +214,15 @@ object Bench {
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    // (name, median, allOk, min, max) in name order
+    // (name, median, allOk, min, max) in name order. Median/spread use ONLY
+    // successful reps — a fast exception (sub-second failure) mixed into the
+    // stats would understate the very variance the spread exists to expose;
+    // with zero successful reps the raw times stand (the query is reported
+    // FAILED and excluded from totals anyway).
     val results: Seq[(String, Double, Boolean, Double, Double)] = named.map(_._1).map { name =>
       val per = repRuns.map(_.find(_._1 == name).get)
-      val times = per.map(_._2)
+      val okTimes = per.filter(_._3).map(_._2)
+      val times = if (okTimes.nonEmpty) okTimes else per.map(_._2)
       (name, median(times), per.forall(_._3), times.min, times.max)
     }
     val failed = results.filter(!_._3).map(_._1)

@@ -16,9 +16,14 @@ object EncodeProbe {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
     val cpus = args.lift(1).map(_.toInt).getOrElse(8)
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
-    Bench.pipelineRun(cpus, math.min(n, 100000L)) // warmup
+    // warm up BOTH plans: the shuffle-join encode has its own codegen/JIT
+    // paths, and leaving it cold would bias exactly the comparison this
+    // probe exists to settle
+    val shuffleCfg = Config(broadcastMaxVocab = 100000L)
+    Bench.pipelineRun(cpus, math.min(n, 100000L))
+    Bench.pipelineRun(cpus, math.min(n, 100000L), shuffleCfg)
     val legs = (1 to reps).flatMap { r =>
-      Seq(("broadcast", Config()), ("shuffle", Config(broadcastMaxVocab = 100000L))).map {
+      Seq(("broadcast", Config()), ("shuffle", shuffleCfg)).map {
         case (label, cfg) =>
           val (secs, stages, _) = Bench.pipelineRun(cpus, n, cfg)
           println(f"ENCODE rep=$r path=$label%-9s secs=$secs%.1f files/sec=${n / secs}%.0f")
@@ -29,9 +34,9 @@ object EncodeProbe {
       }
     }
     Seq("broadcast", "shuffle").foreach { label =>
-      val ts = legs.filter(_._1 == label).map(_._2).sorted
-      val med = ts(ts.size / 2)
-      println(f"ENCODE median path=$label%-9s secs=$med%.1f files/sec=${n / med}%.0f (all: ${ts.map(t => f"$t%.1f").mkString(", ")})")
+      val ts = legs.filter(_._1 == label).map(_._2)
+      val med = Bench.median(ts) // midpoint-averaged, same as the bench legs
+      println(f"ENCODE median path=$label%-9s secs=$med%.1f files/sec=${n / med}%.0f (all: ${ts.sorted.map(t => f"$t%.1f").mkString(", ")})")
     }
   }
 }

@@ -31,6 +31,7 @@ object Plans {
     }
 
     val cfg = Config()
+    val cfg64 = Config(threshold = 0.5, bands = 64, maxBucket = 1 << 20)
     val input = CorpusGen.corpus(spark, 1000).toDF()
     val docs = Pipeline.prepareDocs(input, cfg)
     val vocab = Vocabulary.build(docs, cfg)
@@ -56,12 +57,21 @@ object Plans {
         SparkEntry.queries("q16_ngram_jaccard")(spark, sf),
       "q20_fingerprint (single-pass MinGramMd5 kernel, no explode/groupBy)" ->
         SparkEntry.queries("q20_fingerprint")(spark, sf),
-      "q23_lsh_pairs (first-collision-band candidates at the 64x2 oracle config)" ->
-        SparkEntry.queries("q23_lsh_pairs")(spark, sf),
+      // The q23/q31a SparkEntry entries return MEMOIZED tables (explain would
+      // show an InMemoryTableScan and shared() would materialize the whole
+      // chain just to print a plan) — dump the un-memoized builders at the
+      // same configs instead, so the kernel operators are actually visible.
+      "first-collision-band candidates (64x2 oracle config, the q23 generator)" ->
+        MinHash.candidatePairs(
+          MinHash.withSignature(encoded, cfg64), cfg64),
       "q28_lsh_cosine_top3 (compiled HyperplaneSketch + CosineFloat re-rank)" ->
         SparkEntry.queries("q28_lsh_cosine_top3")(spark, sf),
-      "q31a_winnow_candidates (native WinnowFingerprints over UTF8String)" ->
-        SparkEntry.queries("q31a_winnow_candidates")(spark, sf)
+      "winnow candidate pairs (native WinnowFingerprints, the q31a/q31b front-end)" ->
+        graft.dedup.SuffixDedup.candidatePairs(
+          spark.read.parquet(s"$sf/documents.parquet")
+            .selectExpr("doc_id", "lang as group", "text as content"),
+          graft.dedup.SuffixDedup.SubConfig(k = 16, window = 5, minMatch = 20),
+          graft.dedup.CacheRegistry.unmanaged)
     )
 
     val md = new StringBuilder("# Physical plans (explain formatted)\n")

@@ -35,14 +35,26 @@ object SparkEntry {
   // q34/q35 and q23/q24/q25 families would otherwise rebuild per query —
   // the round-4 q25 regression was exactly this chain re-running. Keyed by
   // (session, dir); released between bench reps / at suite end.
-  private val transientReg = new CacheRegistry
+  // Transient registries are PER-THREAD: a process-global registry would let
+  // one caller's releaseTransientCaches() unpersist another thread's
+  // in-flight scaffolding — Ids.assignDense's correctness depends on its
+  // persisted range-partitioned copy surviving from the eager count job to
+  // the lazy stamp job (Ids.scala). Under the driver contract a query's
+  // build + materialize + release all run on the caller's thread, so thread
+  // scope exactly matches cache lifetime; a release issued from a DIFFERENT
+  // thread now simply misses (a bounded leak, reclaimed at session stop)
+  // instead of corrupting a neighbour's id assignment.
+  private val transientRegs: ThreadLocal[CacheRegistry] =
+    ThreadLocal.withInitial(() => new CacheRegistry)
+  private def transientReg: CacheRegistry = transientRegs.get()
   private val sharedReg = new CacheRegistry
   private val encMemo = TrieMap.empty[(SparkSession, String), DataFrame]
   private val lshPairsMemo = TrieMap.empty[(SparkSession, String), DataFrame]
   private val exactPairsMemo = TrieMap.empty[(SparkSession, String), DataFrame]
   private val winnowCandMemo = TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** Unpersist per-query scaffolding caches. Call after each query's action. */
+  /** Unpersist the CALLING THREAD's per-query scaffolding caches. Call after
+    * each query's action, from the thread that built and materialized it. */
   def releaseTransientCaches(): Unit = transientReg.release()
 
   /** Unpersist + forget the memoized cross-query intermediates. */

@@ -131,6 +131,11 @@ object CosineKernel {
     var nb = 0.0
     var i = 0
     while (i < n) {
+      // A null element makes the zip_with/aggregate twin's whole sum null;
+      // getFloat would instead NPE (GenericArrayData) or read the zeroed
+      // slot (UnsafeArrayData). NaN keeps the "callers filter" contract —
+      // every call site drops null and NaN alike.
+      if (a.isNullAt(i) || b.isNullAt(i)) return Double.NaN
       val x = a.getFloat(i).toDouble
       val y = b.getFloat(i).toDouble
       dot += x * y

@@ -65,21 +65,11 @@ object TokenSet {
   * list (the fingerprint fallback) instead of an empty set. */
 object WordGramKernel {
   def eval(s0: UTF8String, k: Int, padShort: Boolean): ArrayData = {
-    val s = s0.toLowerCase.toString
-    val n = s.length
-    val words = new scala.collection.mutable.ArrayBuffer[String]()
-    var i = 0
-    while (i < n) {
-      val c = s.charAt(i)
-      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
-        var j = i + 1
-        while (j < n && {
-          val d = s.charAt(j); (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
-        }) j += 1
-        words += s.substring(i, j)
-        i = j
-      } else i += 1
-    }
+    val (s, offs) = WordScan.scan(s0)
+    val nWords = offs.length / 2
+    val words = new Array[String](nWords)
+    var wi = 0
+    while (wi < nWords) { words(wi) = s.substring(offs(2 * wi), offs(2 * wi + 1)); wi += 1 }
     val out = new java.util.LinkedHashSet[String]()
     if (k <= 1) words.foreach(out.add)
     else if (words.length >= k) {
@@ -127,6 +117,33 @@ object WordGramSet {
     GraftBridge.column(WordGramSet(GraftBridge.expression(c), k, padShort))
 }
 
+/** THE simple-word scanner, shared by [[WordGramKernel]] and
+  * [[MinGramMd5Kernel]] so the two kernels (whose outputs the q16 gram path
+  * and the q20 fingerprint path — and their SQL oracles — must keep
+  * byte-identical) cannot drift apart: Spark-exact lowercase
+  * (UTF8String.toLowerCase) then maximal ASCII `[a-z0-9]+` runs, returned as
+  * the lowercased string plus flat [start0,end0,start1,end1,...] offsets. */
+private[dedup] object WordScan {
+  def scan(s0: UTF8String): (String, Array[Int]) = {
+    val s = s0.toLowerCase.toString
+    val n = s.length
+    val offs = new scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        var j = i + 1
+        while (j < n && {
+          val d = s.charAt(j); (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+        }) j += 1
+        offs += i; offs += j
+        i = j
+      } else i += 1
+    }
+    (s, offs.toArray)
+  }
+}
+
 /** Static kernel: min(md5(gram)) over the simple-word k-grams of a document
   * (the q20 content fingerprint) in ONE compiled pass. Equivalent to
   * `explode(WordGramSet(text, k, padShort=true))` -> `groupBy(min(md5(g)))`
@@ -151,25 +168,21 @@ object MinGramMd5Kernel {
   private val SPACE = ' '.toByte
 
   def eval(s0: UTF8String, k: Int): UTF8String = {
-    // word scan identical to WordGramKernel (lowercase, ASCII [a-z0-9]+ runs)
-    val s = s0.toLowerCase.toString
-    val n = s.length
-    val words = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-    var i = 0
-    while (i < n) {
-      val c = s.charAt(i)
-      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
-        var j = i + 1
-        while (j < n && {
-          val d = s.charAt(j); (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
-        }) j += 1
-        // runs are pure ASCII by construction: byte-per-char encode
-        val w = new Array[Byte](j - i)
-        var b = 0
-        while (b < w.length) { w(b) = s.charAt(i + b).toByte; b += 1 }
-        words += w
-        i = j
-      } else i += 1
+    // word scan shared with WordGramKernel via WordScan (the two kernels
+    // must agree on what a "word" is, byte for byte)
+    val (s, offs) = WordScan.scan(s0)
+    val nWords = offs.length / 2
+    val words = new Array[Array[Byte]](nWords)
+    var wi = 0
+    while (wi < nWords) {
+      val start = offs(2 * wi)
+      val end = offs(2 * wi + 1)
+      // runs are pure ASCII by construction: byte-per-char encode
+      val w = new Array[Byte](end - start)
+      var b = 0
+      while (b < w.length) { w(b) = s.charAt(start + b).toByte; b += 1 }
+      words(wi) = w
+      wi += 1
     }
     val md = tlMd.get()
     var best: Array[Byte] = null

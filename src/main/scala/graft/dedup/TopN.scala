@@ -57,6 +57,20 @@ object TopN {
       targets: DataFrame,
       n: Int,
       minSimilarity: Double = 0.05
+  ): DataFrame =
+    caseControlRanked(pairs, targets, n, minSimilarity, identity)
+
+  /** The shared case/control body: symmetrize above the sim floor, keep
+    * target probes (semi) against non-target controls (anti), apply the
+    * caller's control filter, rank per probe by desc(sim) with asc(matched)
+    * tie-break. Reference-parity semantics live HERE, once — the public
+    * variants differ only in `controlFilter`. */
+  private def caseControlRanked(
+      pairs: DataFrame,
+      targets: DataFrame,
+      n: Int,
+      minSimilarity: Double,
+      controlFilter: DataFrame => DataFrame
   ): DataFrame = {
     val t = targets.select(col("doc_id")).distinct()
     val sym = pairs
@@ -67,9 +81,11 @@ object TopN {
           .filter(col("sim") >= minSimilarity)
           .select(col("group"), col("b").as("probe"), col("a").as("matched"), col("sim"))
       )
-    val cased = sym
-      .join(t.select(col("doc_id").as("probe")), Seq("probe"), "left_semi")
-      .join(t.select(col("doc_id").as("matched")), Seq("matched"), "left_anti")
+    val cased = controlFilter(
+      sym
+        .join(t.select(col("doc_id").as("probe")), Seq("probe"), "left_semi")
+        .join(t.select(col("doc_id").as("matched")), Seq("matched"), "left_anti")
+    )
     val w = Window.partitionBy(col("probe")).orderBy(desc("sim"), asc("matched"))
     cased
       .withColumn("rank", row_number().over(w))
@@ -101,24 +117,7 @@ object TopN {
     require(keepPct >= 0 && keepPct <= 100, s"keepPct must be in [0,100]: $keepPct")
     val s = seed
     val keepUdf = udf((id: Long) => ((SimHash.mix64(id ^ s) >>> 1) % 100) < keepPct)
-    val t = targets.select(col("doc_id")).distinct()
-    val sym = pairs
-      .filter(col("sim") >= minSimilarity)
-      .select(col("group"), col("a").as("probe"), col("b").as("matched"), col("sim"))
-      .unionByName(
-        pairs
-          .filter(col("sim") >= minSimilarity)
-          .select(col("group"), col("b").as("probe"), col("a").as("matched"), col("sim"))
-      )
-    val cased = sym
-      .join(t.select(col("doc_id").as("probe")), Seq("probe"), "left_semi")
-      .join(t.select(col("doc_id").as("matched")), Seq("matched"), "left_anti")
-      .filter(keepUdf(col("matched")))
-    val w = Window.partitionBy(col("probe")).orderBy(desc("sim"), asc("matched"))
-    cased
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= n)
-      .select(col("group"), col("probe"), col("matched"), col("rank"), col("sim"))
+    caseControlRanked(pairs, targets, n, minSimilarity, _.filter(keepUdf(col("matched"))))
   }
 
   /** Per-group corpus stats (code/main_closest.py:272-315), including the

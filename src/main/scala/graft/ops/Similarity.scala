@@ -499,9 +499,15 @@ object Similarity {
   * the interpreted aggregate(zip_with(cast-to-double multiply)) chain it
   * replaced: index-ordered left-to-right double sums (so the SQL oracle's
   * list_sum reproduces every dot product bit-for-bit), bit p set iff
-  * d >= 0 (NaN and the zip_with length-mismatch null both leave it clear). */
+  * d >= 0 (NaN and the zip_with length-mismatch null both leave it clear).
+  * A null ELEMENT nulls every plane's zip_with sum in the twin, clearing
+  * every bit — reproduced here as an early 0L (getFloat would NPE on
+  * GenericArrayData or read the zeroed slot on UnsafeArrayData). */
 object SketchKernel {
   def eval(emb: org.apache.spark.sql.catalyst.util.ArrayData, hp: Array[Array[Double]]): Long = {
+    var i0 = 0
+    val n0 = emb.numElements()
+    while (i0 < n0) { if (emb.isNullAt(i0)) return 0L; i0 += 1 }
     var out = 0L
     var p = 0
     while (p < hp.length) {

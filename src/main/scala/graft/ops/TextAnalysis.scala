@@ -74,8 +74,10 @@ object TextAnalysis {
   def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame =
     // single-pass compiled kernel: min(md5(gram)) per row — no gram explode,
     // no shuffle/agg (the old plan exchanged every gram row to regroup by
-    // doc). The isNotNull filter preserves the explode plan's semantics of
-    // dropping null-text docs rather than emitting a null fingerprint.
+    // doc). Null-text docs are DROPPED — a deliberate semantic change from
+    // the round-4 explode plan, whose <3-words fallback turned a null text
+    // into concat_ws("")="" and emitted md5("") for it; the SQL oracle (and
+    // any sane reading of "fingerprint of the content") has no row there.
     df.filter(col(textCol).isNotNull)
       .select(col("doc_id"), graft.dedup.MinGramMd5(col(textCol), 3).as("fingerprint"))
 }

@@ -59,6 +59,27 @@ class OpsSpec extends SparkSpec {
     val skOdd = Similarity.hyperplaneSketch(odd, dim = 64, planes = 8, seed = 1L)
       .select("vec_id", "sketch").as[(Long, Long)].collect().toMap
     assert(skOdd(1L) == 0L, "short embedding must sketch to 0 like the null-padded builtins")
+    // a null ELEMENT nulls every plane's zip_with sum in the builtins twin
+    // (every bit clear); the kernel must not NPE / read the zeroed slot
+    val withNull = Seq(
+      (1L, Array.fill(64)(0.5f).map(java.lang.Float.valueOf).updated(3, null: java.lang.Float)),
+      (2L, Array.fill(64)(0.5f).map(java.lang.Float.valueOf))
+    ).toDF("vec_id", "embedding")
+    val skNull = Similarity.hyperplaneSketch(withNull, dim = 64, planes = 8, seed = 1L)
+      .select("vec_id", "sketch").as[(Long, Long)].collect().toMap
+    val skNullTwin = Similarity.hyperplaneSketchBuiltins(withNull, dim = 64, planes = 8, seed = 1L)
+      .select("vec_id", "sketch").as[(Long, Long)].collect().toMap
+    assert(skNull(1L) == 0L && skNull == skNullTwin, "null element must clear every bit, like the twin")
+  }
+
+  test("CosineFloat kernel returns NaN (dropped like the twin's null) on a null element") {
+    import graft.dedup.CosineFloat
+    val df = Seq(
+      (Array.fill(4)(1.0f).map(java.lang.Float.valueOf).updated(1, null: java.lang.Float),
+       Array.fill(4)(1.0f).map(java.lang.Float.valueOf))
+    ).toDF("a", "b")
+    val out = df.select(CosineFloat(col("a"), col("b")).as("c")).as[Double].collect()
+    assert(out.length == 1 && out(0).isNaN, "null element must yield NaN, not NPE or a zero-read")
   }
 
   test("IVF-flat top-k: deterministic, and probing more lists converges on the exact top-1") {
