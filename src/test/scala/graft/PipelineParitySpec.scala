@@ -187,6 +187,44 @@ class PipelineParitySpec extends SparkSpec {
     assert(again == firstPairs)
   }
 
+  test("mega exact-dup class: collapsed before LSH, fully expanded after, one cluster") {
+    // the 100 TB hazard this pins: a content duplicated C times must
+    // contribute ZERO intra-class LSH candidates (the class collapses to one
+    // representative per (group, content_sha) BEFORE banding, so it cannot
+    // create a hot bucket), while the FINAL pair table still carries all
+    // C(C,2) sim=1.0 member pairs (reference emits pairs over raw docs)
+    val C = 300
+    val dupContent =
+      "def megaDup(x: Int): Int = {\n  val widget = x * frobnicate(x)\n  widget + renderTemplate(x)\n}\n"
+    val noise = CorpusGen.corpusLocal(60)
+    val clones = (0 until C).map(i => CodeFile(s"dup-repo-$i", s"src/clone$i.scala", f"c$i%04d", "scala", dupContent))
+    val input = spark.createDataFrame(new scala.util.Random(7L).shuffle(noise ++ clones))
+
+    val t = Pipeline.run(spark, input, cfg, tmpDir("graft-mega"))
+
+    val nReps = t.docs.select("group", "content_sha").distinct().count()
+    assert(
+      t.candidates.count() <= nReps * (nReps - 1) / 2,
+      "candidate volume must be bounded by representative count, not raw doc count"
+    )
+
+    val memberIds = t.docs
+      .filter(col("content_sha") === sha2(lit(dupContent), 256))
+      .select("doc_id").as[Long].collect().toSet
+    assert(memberIds.size == C, s"expected $C class members, got ${memberIds.size}")
+
+    val intra = t.pairs
+      .filter(col("a").isin(memberIds.toSeq: _*) && col("b").isin(memberIds.toSeq: _*))
+      .select("a", "b", "sim").collect()
+    assert(intra.length == C * (C - 1) / 2, s"expected all ${C * (C - 1) / 2} member pairs, got ${intra.length}")
+    assert(intra.forall(_.getDouble(2) == 1.0), "every intra-class pair must be sim=1.0")
+
+    val clusters = t.components
+      .filter(col("doc_id").isin(memberIds.toSeq: _*))
+      .select("cluster_id").distinct().as[Long].collect()
+    assert(clusters.length == 1, s"class must land in ONE cluster, got ${clusters.length}")
+  }
+
   test("stage metrics sidecars exist with per-partition rows") {
     val files = CorpusGen.corpusLocal(100)
     val input = spark.createDataFrame(files)
