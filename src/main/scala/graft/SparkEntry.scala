@@ -637,14 +637,17 @@ object SparkEntry {
     // The detectors are deterministic functions of (data, seed), so their
     // outputs ARE oracle-able: the oracle SQL recomputes minhash/simhash/LSH
     // semantics from the documents table (validated mix64/modmul parity).
-    "q22_minhash_sigs" -> ((s, dir) => {
-      val cfg = Config()
+    "q22_minhash_sigs" -> ((s, dir) =>
+      // The signature is a function of (tokens, numPerms, seed) only, and
+      // the encode of (shingleK, minDf) only — all identical between the
+      // default Config and oracleLshCfg — so q22 shares the memoized
+      // encoded corpus with q23/q24/q25 instead of rebuilding the
+      // tokenize -> vocab -> encode chain under its own Config().
       MinHash
-        .withSignature(docsEncoded(t(s, dir, "documents"), cfg), cfg)
+        .withSignature(encCached(s, dir), oracleLshCfg)
         .select(col("doc_id"), posexplode(col("minhash")).as(Seq("perm", "min_val")))
         .withColumn("perm", col("perm").cast("long"))
-        .withColumn("min_val", col("min_val").cast("long"))
-    }),
+        .withColumn("min_val", col("min_val").cast("long"))),
     "q23_lsh_pairs" -> ((s, dir) =>
       // Oracle-equality configuration: 64 bands x 2 rows makes the miss
       // probability of a true pair at sim 0.5 about (1 - 0.25)^64 ~ 1e-8,
