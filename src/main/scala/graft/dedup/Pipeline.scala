@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end near-duplicate pipeline over a source-code table
@@ -38,6 +38,27 @@ object Pipeline {
       topn: Option[DataFrame] = None
   )
 
+  /** The folded composite group key (shared by the batch pipeline and the
+    * streaming front door — one definition, one semantics). */
+  def groupKey(cfg: Config): Column =
+      if (cfg.groupCols.size == 1) col(cfg.groupCols.head).cast("string")
+      else
+        // concat_ws silently skips NULLs, which would fold ("a", NULL) and
+        // (NULL, "a") into one group and let pairs cross groups (ADVICE_r02).
+        // Collision-free encoding: NUL bytes in real values are doubled and
+        // NULL maps to a single NUL — no real value can ever equal the
+        // sentinel, so distinct key tuples always yield distinct group keys.
+        // The single-column path keeps its natural NULL group.
+        concat_ws(
+          "\u0001",
+          cfg.groupCols.map(c =>
+            coalesce(
+              regexp_replace(col(c).cast("string"), "\u0000", "\u0000\u0000"),
+              lit("\u0000")
+            )
+          ): _*
+        )
+
   /** Stage 1 logic (no checkpoint): tokenize + ids + lineage.
     *
     * Order matters for scale: sha256 / byte-count / tokenize run FIRST and
@@ -59,26 +80,8 @@ object Pipeline {
       .drop("content")
     val withId =
       Ids.assignDenseByKey(derived, Seq("repo", "path", "commit"), "doc_id", dropDuplicateKeys = true, reg = reg)
-    val groupExpr =
-      if (cfg.groupCols.size == 1) col(cfg.groupCols.head).cast("string")
-      else
-        // concat_ws silently skips NULLs, which would fold ("a", NULL) and
-        // (NULL, "a") into one group and let pairs cross groups (ADVICE_r02).
-        // Collision-free encoding: NUL bytes in real values are doubled and
-        // NULL maps to a single NUL — no real value can ever equal the
-        // sentinel, so distinct key tuples always yield distinct group keys.
-        // The single-column path keeps its natural NULL group.
-        concat_ws(
-          "\u0001",
-          cfg.groupCols.map(c =>
-            coalesce(
-              regexp_replace(col(c).cast("string"), "\u0000", "\u0000\u0000"),
-              lit("\u0000")
-            )
-          ): _*
-        )
     withId
-      .withColumn("group", groupExpr)
+      .withColumn("group", groupKey(cfg))
       .filter(size(col("tokens")) > 0)
       .select("doc_id", "repo", "path", "commit", "group", "content_sha", "n_bytes", "tokens")
       // cluster rows by key within each partition before the checkpoint

@@ -112,8 +112,26 @@ object Vocabulary {
     * serial fraction (the part that caps scaling efficiency). Falls back to
     * the shuffle join when the char blob would overflow Int index space
     * (huge shingle vocabularies) instead of failing the encode. */
-  def encodeBroadcast(docs: DataFrame, vocab: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
+  def encodeBroadcast(docs: DataFrame, vocab: DataFrame): DataFrame =
+    broadcastEncodeFn(vocab) match {
+      case None => encodeJoin(docs, vocab)
+      case Some(enc) =>
+        docs
+          .select(col("doc_id"), col("group"), enc(col("tokens")).as("tokens"))
+          .withColumn("n_tokens", size(col("tokens")))
+          .filter(col("n_tokens") > 0)
+    }
+
+  /** The broadcast-dict encode as a reusable column function: array<string>
+    * tokens -> sorted array<int> ids (absent tokens dropped). NARROW — the
+    * only encode plan legal inside a Structured Streaming query, where the
+    * shuffle-join plan's re-grouping aggregation would need stream state
+    * ([[graft.streaming.StreamingDedup]]). Collects the dictionary at PLAN
+    * time (executor-packed blobs, same path as [[encodeBroadcast]]); returns
+    * None when the packed char blob would overflow Int index space and the
+    * caller must use [[encodeJoin]]. */
+  def broadcastEncodeFn(vocab: DataFrame): Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = {
+    val spark = vocab.sparkSession
     import spark.implicits._
     val blobs = vocab
       .select(col("token"), col("token_id").cast("int"))
@@ -131,7 +149,7 @@ object Vocabulary {
       }
       .collect()
     val totalChars = blobs.foldLeft(0L)((acc, b) => acc + b._1.length)
-    if (totalChars > Int.MaxValue) return encodeJoin(docs, vocab)
+    if (totalChars > Int.MaxValue) return None
     val bDict = spark.sparkContext.broadcast(CompactDict.fromBlobs(blobs))
     val encodeUdf = udf { (tokens: Seq[String]) =>
       val d = bDict.value
@@ -144,10 +162,7 @@ object Vocabulary {
       java.util.Arrays.sort(arr)
       arr
     }
-    docs
-      .select(col("doc_id"), col("group"), encodeUdf(col("tokens")).as("tokens"))
-      .withColumn("n_tokens", size(col("tokens")))
-      .filter(col("n_tokens") > 0)
+    Some(tokens => encodeUdf(tokens))
   }
 }
 
