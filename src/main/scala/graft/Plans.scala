@@ -71,7 +71,22 @@ object Plans {
           spark.read.parquet(s"$sf/documents.parquet")
             .selectExpr("doc_id", "lang as group", "text as content"),
           graft.dedup.SuffixDedup.SubConfig(k = 16, window = 5, minMatch = 20),
-          graft.dedup.CacheRegistry.unmanaged)
+          graft.dedup.CacheRegistry.unmanaged),
+      // the streaming ingest plan, dumped through its batch-parity shape
+      // (identical operators; a started streaming query can't be explained
+      // here): broadcast-dict encode -> band explode -> index equi-join ->
+      // first-collision filter -> verify kernel
+      "streaming near-dup probe (stream-static LSH join, batch-parity shape)" -> {
+        val hot = Vocabulary.hotTokenIds(vocab, 1000L, cfg)
+        graft.streaming.StreamingDedup.nearDupAgainstCorpus(
+          graft.streaming.StreamingDedup.prepareStream(input.limit(50), cfg),
+          vocab,
+          encoded,
+          graft.streaming.StreamingDedup.corpusIndex(encoded, cfg, hot),
+          cfg,
+          hot
+        )
+      }
     )
 
     val md = new StringBuilder("# Physical plans (explain formatted)\n")
