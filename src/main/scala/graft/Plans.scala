@@ -32,7 +32,8 @@ object Plans {
 
     val cfg = Config()
     val cfg64 = Config(threshold = 0.5, bands = 64, maxBucket = 1 << 20)
-    val input = CorpusGen.corpus(spark, 1000).toDF()
+    val corpusSize = 1000L
+    val input = CorpusGen.corpus(spark, corpusSize).toDF()
     val docs = Pipeline.prepareDocs(input, cfg)
     val vocab = Vocabulary.build(docs, cfg)
     val encoded = Vocabulary.encode(docs, vocab)
@@ -77,12 +78,15 @@ object Plans {
       // here): broadcast-dict encode -> band explode -> index equi-join ->
       // first-collision filter -> verify kernel
       "streaming near-dup probe (stream-static LSH join, batch-parity shape)" -> {
-        val hot = Vocabulary.hotTokenIds(vocab, 1000L, cfg)
+        val hot = Vocabulary.hotTokenIds(vocab, corpusSize, cfg)
+        // the index contract: exact-class representatives only
+        val reps = Pipeline.exactClassMap(docs).filter("doc_id = rep_id").select("doc_id")
+        val encodedReps = encoded.join(reps, "doc_id")
         graft.streaming.StreamingDedup.nearDupAgainstCorpus(
           graft.streaming.StreamingDedup.prepareStream(input.limit(50), cfg),
           vocab,
-          encoded,
-          graft.streaming.StreamingDedup.corpusIndex(encoded, cfg, hot),
+          encodedReps,
+          graft.streaming.StreamingDedup.corpusIndex(encodedReps, cfg, hot),
           cfg,
           hot
         )

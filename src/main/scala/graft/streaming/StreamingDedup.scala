@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   *    per-row expressions; candidate generation is a stream-static equi-join
   *    (no stream-stream join, no watermark bookkeeping); exact verification
   *    is another stream-static join plus the codegen'd [[JaccardSorted]]
-  *    kernel. The ONLY stateful operator in the module is [[firstSeen]]'s
-  *    within-stream dropDuplicates, and it is optional.
+  *    kernel. The near-dup path is entirely STATELESS; the module's only
+  *    stateful operators are [[firstSeen]]'s within-stream dropDuplicates
+  *    (optional, watermark-boundable) and [[ingestStats]]' windowed
+  *    aggregation (state = one row per open window per group).
   *  - APPEND-MODE SAFE. No aggregation sits on the stream side of the
   *    near-dup path, so results emit as soon as a micro-batch completes —
   *    the latency an ingest gate actually wants.
@@ -53,24 +55,37 @@ object StreamingDedup {
       .filter(size(col("tokens")) > 0)
       .drop("content")
 
-  /** Exact-dup gate: keep only rows whose content hash is NEW — absent from
-    * the static corpus (stream-static left_anti on content_sha) and not
-    * seen earlier in the stream (stateful dropDuplicates per (group, sha),
-    * the batch pipeline's exact-class collapse in streaming form).
+  /** Exact-dup gate: keep only rows whose (group, content hash) is NEW —
+    * absent from the static corpus (stream-static left_anti) and not seen
+    * earlier in the stream (stateful dropDuplicates per (group, sha)).
+    * Both legs key on (group, content_sha), exactly the batch pipeline's
+    * exact-class key ([[Pipeline.exactClassMap]]): the same bytes under a
+    * DIFFERENT group are a distinct doc there, so they pass here too. The
+    * group comparison is null-safe — groupKey's single-column path keeps a
+    * natural NULL group, and an equi-join key would silently pass every
+    * NULL-group row as "new".
     *
-    * State is one entry per distinct surviving hash. For bounded state on
+    * State is one entry per distinct surviving key. For bounded state on
     * unbounded streams pass `watermark = Some((eventTimeCol, delay))`:
     * dropDuplicatesWithinWatermark then expires entries older than the
     * delay — correct whenever re-uploads of the same bytes arrive within
-    * the watermark horizon (the common ingest pattern). */
+    * the watermark horizon (the common ingest pattern).
+    *
+    * `knownDocs`: any frame with (group, content_sha) — the pipeline's docs
+    * stage checkpoint qualifies as-is. */
   def firstSeen(
       prepared: DataFrame,
-      knownShas: Option[DataFrame] = None,
+      knownDocs: Option[DataFrame] = None,
       watermark: Option[(String, String)] = None
   ): DataFrame = {
-    val fresh = knownShas match {
+    val fresh = knownDocs match {
       case Some(k) =>
-        prepared.join(k.select(col("content_sha")).distinct(), Seq("content_sha"), "left_anti")
+        val known = k.select(col("group").as("k_group"), col("content_sha").as("k_sha")).distinct()
+        prepared.join(
+          known,
+          col("group") <=> col("k_group") && col("content_sha") === col("k_sha"),
+          "left_anti"
+        )
       case None => prepared
     }
     watermark match {
@@ -84,6 +99,16 @@ object StreamingDedup {
     * pipeline's encoded table: one skinny row per (group, band, band_hash,
     * corpus doc), carrying the doc's full band-hash array for the
     * first-collision dedup trick (below).
+    *
+    * Feed it exact-class REPRESENTATIVES — `encoded` joined to the rep rows
+    * of [[Pipeline.exactClassMap]] (`doc_id === rep_id`), exactly what the
+    * batch signatures stage does. Indexing every member of an exact-dup
+    * class re-creates the mega-class hot-bucket hazard the batch pipeline
+    * collapses away (a 100k-copy boilerplate file fills every one of its
+    * buckets with identical entries, crowding DISTINCT docs past the cap
+    * and paying up to maxBucket identical verifies per probe); matches
+    * against a rep expand to class members with the same classMap join as
+    * [[Pipeline.expandExactClasses]].
     *
     * Hot buckets: a boilerplate band hash shared by B corpus docs fans
     * every colliding stream row out B ways — the stream-static analogue of
@@ -157,9 +182,17 @@ object StreamingDedup {
     *      corpus for full sets; verify with the codegen'd [[JaccardSorted]]
     *      kernel (full sets — the hot-token cap never touches sims).
     *
-    * `vocab`/`encoded` are the batch pipeline's vocab and encoded stages
-    * (read from their checkpoints); `index` is [[corpusIndex]] over that
-    * same encoded table with the same `hotTokenIds`. */
+    * Both static joins compare `group` NULL-SAFELY: groupKey's
+    * single-column path keeps a natural NULL group, and batch candidate
+    * generation (a groupBy) pairs within it — an equi-key here would
+    * silently report every NULL-group copy as novel.
+    *
+    * `vocab` is the batch pipeline's vocab stage (read from its
+    * checkpoint); `encoded` is its encoded stage restricted to exact-class
+    * representatives, and `index` is [[corpusIndex]] over that SAME frame
+    * with the same `hotTokenIds` — see the rep requirement there. Emitted
+    * `corpus_doc_id`s are rep ids; expand over class members with
+    * [[Pipeline.exactClassMap]] when per-member pairs are needed. */
   def nearDupAgainstCorpus(
       stream: DataFrame,
       vocab: DataFrame,
@@ -186,18 +219,32 @@ object StreamingDedup {
       .withColumn("bhs", BandHashes(MinHashSig(col("sig_tokens"), cfg), cfg))
       .drop("sig_tokens")
     val exploded = banded.select(col("*"), posexplode(col("bhs")).as(Seq("band", "band_hash")))
-    val joined = exploded.join(index, Seq("group", "band", "band_hash"))
+    val ix = index
+      .withColumnRenamed("group", "c_group")
+      .withColumnRenamed("band", "c_band")
+      .withColumnRenamed("band_hash", "c_band_hash")
+    val joined = exploded
+      .join(
+        ix,
+        col("group") <=> col("c_group") &&
+          col("band") === col("c_band") &&
+          col("band_hash") === col("c_band_hash")
+      )
+      .drop("c_group", "c_band", "c_band_hash")
     // first band where the stream doc's array agrees with the doc's indexed
     // array; the joined row at `band` proves one exists, so the filter
     // keeps exactly one row per (stream doc, corpus doc)
     val firstEq =
       array_position(zip_with(col("bhs"), col("c_bhs"), (s, c) => c.isNotNull && s === c), lit(true)) - 1
+    val corpusSets =
+      encoded.select(col("group").as("e_group"), col("doc_id").as("e_doc_id"), col("tokens").as("c_tokens"))
     joined
       .filter(col("band") === firstEq)
       .join(
-        encoded.select(col("group"), col("doc_id").as("c_doc_id"), col("tokens").as("c_tokens")),
-        Seq("group", "c_doc_id")
+        corpusSets,
+        col("group") <=> col("e_group") && col("c_doc_id") === col("e_doc_id")
       )
+      .drop("e_group", "e_doc_id")
       .withColumn("sim", JaccardSorted(col("tokens"), col("c_tokens")))
       .filter(col("sim") >= cfg.threshold)
       .select(

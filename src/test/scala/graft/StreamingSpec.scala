@@ -28,12 +28,18 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
 
-  /** Static corpus state, built once: docs/vocab/encoded + hot ids + index. */
+  /** Static corpus state, built once: docs/vocab + exact-class REP encoded
+    * sets (the index contract: collapse before LSH) + hot ids + index. */
   private lazy val corpusState = {
     val corpus = CorpusGen.corpusLocal(200).toDF()
     val docs = Pipeline.prepareDocs(corpus, cfg).persist()
     val vocab = Vocabulary.build(docs, cfg).persist()
-    val encoded = Vocabulary.encode(docs, vocab).persist()
+    val encodedAll = Vocabulary.encode(docs, vocab)
+    val reps = Pipeline
+      .exactClassMap(docs)
+      .filter(col("doc_id") === col("rep_id"))
+      .select("doc_id")
+    val encoded = encodedAll.join(reps, "doc_id").persist()
     val hot = Vocabulary.hotTokenIds(vocab, docs.count(), cfg)
     val index = StreamingDedup.corpusIndex(encoded, cfg, hot).persist()
     (docs, vocab, encoded, hot, index)
@@ -106,10 +112,10 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("near-dup parity holds under index bucket capping (maxBucket = 2)") {
-    val (docs, vocab, _, _, _) = corpusState
+    // maxBucket influences neither encode nor hot ids — reuse the shared
+    // state and rebuild only the capped index
+    val (_, vocab, encoded, hot, _) = corpusState
     val capped = cfg.copy(maxBucket = 2)
-    val encoded = Vocabulary.encode(docs, vocab).persist()
-    val hot = Vocabulary.hotTokenIds(vocab, docs.count(), capped)
     val index = StreamingDedup.corpusIndex(encoded, capped, hot).persist()
     val rows = streamRows
     def plan(in: DataFrame): DataFrame =
@@ -127,7 +133,34 @@ class StreamingSpec extends SparkSpec {
     Seq("a.scala", "b.scala", "e.scala").foreach { p =>
       assert(streamed.exists(r => r._1 == p && r._3 == 1.0), s"$p lost all matches under capping")
     }
-    encoded.unpersist(); index.unpersist()
+    index.unpersist()
+  }
+
+  test("NULL group: known-gate drops the copy, near-dup still matches within the NULL group") {
+    // groupKey's single-column path keeps a natural NULL group; the batch
+    // pipeline pairs within it (groupBy), so the streaming joins must too —
+    // an equi-key on group would silently treat every NULL-group row as novel
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      CodeFile("r", "one.x", "c0", null, base),
+      CodeFile("r", "two.x", "c0", null, base + " lambda")
+    ).toDF()
+    val docs = Pipeline.prepareDocs(corpus, cfg)
+    val vocab = Vocabulary.build(docs, cfg)
+    val encoded = Vocabulary.encode(docs, vocab)
+    val index = StreamingDedup.corpusIndex(encoded, cfg)
+    val copy = StreamDoc("s", "copy.x", "c1", null, base, ts(1))
+    val nearDup = StreamDoc("s", "near.x", "c1", null, base + " mu", ts(2))
+    val prepared = StreamingDedup.prepareStream(Seq(copy, nearDup).toDF(), cfg)
+    val kept = StreamingDedup.firstSeen(prepared, knownDocs = Some(docs))
+      .select("path").collect().map(_.getString(0)).toSet
+    assert(kept == Set("near.x"), "null-safe known gate must drop the byte-identical copy only")
+    val matches = StreamingDedup
+      .nearDupAgainstCorpus(prepared, vocab, encoded, index, cfg)
+      .select("path", "corpus_doc_id", "sim").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(matches.exists(m => m._1 == "copy.x" && m._3 == 1.0), "NULL-group exact copy must match")
+    assert(matches.exists(_._1 == "near.x"), "NULL-group near-dup must match")
   }
 
   test("firstSeen drops corpus-known hashes and within-stream repeats, keeps the rest") {
@@ -139,7 +172,7 @@ class StreamingSpec extends SparkSpec {
     val out = runStreamed("first_seen", Seq(Seq(fresh, corpusDup), Seq(freshAgain, other))) { in =>
       StreamingDedup.firstSeen(
         StreamingDedup.prepareStream(in, cfg),
-        knownShas = Some(docs.select("content_sha"))
+        knownDocs = Some(docs)
       )
     }
     val paths = out.select("path").collect().map(_.getString(0)).toSet
