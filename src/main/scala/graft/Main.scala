@@ -12,8 +12,15 @@ import org.apache.spark.sql.functions._
   * Usage:
   *   graft.Main --gen 10000 --work /tmp/graft-work [--threshold 0.7]
   *              [--shingle-k 1] [--group-col lang] [--cpus 8]
-  *              [--topn 3] [--substring true]
+  *              [--topn 3] [--substring true] [--stream 2000]
   *   graft.Main --input /data/files.parquet --work /data/graft-work
+  *
+  * `--stream M` additionally replays a deterministic ingest stream of M new
+  * files (planted mix: [[CorpusGen.streamFile]]) against the corpus state
+  * just built, through the Structured Streaming front door
+  * ([[graft.streaming.StreamingDedup]]): first-seen gate, stream-static LSH
+  * near-dup join, windowed ingest stats. Meaningful with `--gen` — the
+  * stream's re-upload leg samples the generated corpus.
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -74,6 +81,124 @@ object Main {
       .agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("cluster_id"))
       .show(5)
+
+    opts.get("--stream").map(_.toLong).filter(_ > 0).foreach { m =>
+      val n = opts.getOrElse("--gen", "1000").toLong
+      streamIngest(spark, t, cfg, work, n, m)
+    }
     spark.stop()
+  }
+
+  /** Drive the Structured Streaming ingest path end-to-end: write `m`
+    * deterministic stream files ([[CorpusGen.streamFile]]) as parquet
+    * micro-batch input, run the first-seen gate and the stream-static
+    * near-dup join against the corpus state just built, sink to parquet
+    * under `$work/stream-out`, and print a summary plus a stream-vs-batch
+    * parity check (the module's load-bearing invariant). */
+  private def streamIngest(
+      spark: SparkSession,
+      t: Pipeline.Tables,
+      cfg: Config,
+      work: String,
+      n: Long,
+      m: Long
+  ): Unit = {
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    import org.apache.spark.sql.streaming.Trigger
+
+    // corpus state: exact-class REP encoded sets + hot signature-token ids +
+    // LSH band index (mirrors the signatures-stage inputs in Pipeline.run)
+    val reps = Pipeline
+      .exactClassMap(t.docs.join(t.encoded.select("doc_id"), "doc_id"))
+      .filter(col("doc_id") === col("rep_id"))
+      .select("doc_id")
+    val encodedReps = t.encoded.join(reps, "doc_id").persist()
+    val nDocs = Checkpoints.stageRowCount(spark, s"$work/docs")
+    val hot = Vocabulary.hotTokenIds(t.vocab, nDocs, cfg)
+    val index = StreamingDedup.corpusIndex(encodedReps, cfg, hot).persist()
+    println(s"\nstream: index ${index.count()} band entries over ${encodedReps.count()} rep docs")
+
+    val inDir = s"$work/stream-in"
+    val outDir = s"$work/stream-out"
+    spark
+      .range(m)
+      .map { i =>
+        val f = CorpusGen.streamFile(i, n, cfg.seed)
+        (f.repo, f.path, f.commit, f.lang, f.content, new java.sql.Timestamp(1700000000000L + i * 1000L))
+      }
+      .toDF("repo", "path", "commit", "lang", "content", "event_time")
+      .repartition(8)
+      .write
+      .mode("overwrite")
+      .parquet(inDir)
+
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(inDir)
+    val prepared = StreamingDedup.prepareStream(stream, cfg)
+    val fresh = StreamingDedup.firstSeen(prepared, Some(t.docs), Some(("event_time", "10 minutes")))
+    val pairs = StreamingDedup.nearDupAgainstCorpus(fresh, t.vocab, encodedReps, index, cfg, hot)
+
+    val t0 = System.nanoTime()
+    val queries = Seq(
+      fresh
+        .drop("tokens") // the accepted-files sink wants lineage, not payload
+        .writeStream
+        .format("parquet")
+        .option("path", s"$outDir/accepted")
+        .option("checkpointLocation", s"$work/stream-ck/accepted")
+        .trigger(Trigger.AvailableNow())
+        .start(),
+      pairs.writeStream
+        .format("parquet")
+        .option("path", s"$outDir/pairs")
+        .option("checkpointLocation", s"$work/stream-ck/pairs")
+        .trigger(Trigger.AvailableNow())
+        .start(),
+      StreamingDedup
+        .ingestStats(prepared, "event_time", "1 minute", "2 minutes")
+        .writeStream
+        .format("memory")
+        .queryName("ingest_stats")
+        .outputMode("complete")
+        .option("checkpointLocation", s"$work/stream-ck/stats")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    )
+    queries.foreach(_.awaitTermination())
+    val wall = (System.nanoTime() - t0) / 1e9
+
+    val accepted = spark.read.parquet(s"$outDir/accepted")
+    val outPairs = spark.read.parquet(s"$outDir/pairs")
+    println(f"stream: $m%d files replayed in $wall%.1f s (${m / wall}%.0f files/sec incl. micro-batch overhead)")
+    println(s"stream: ${accepted.count()} first-seen files accepted; ${outPairs.count()} near-dup pairs vs corpus")
+
+    // parity: the identical plan over the same rows as ONE batch frame must
+    // produce the identical pair set (keyed on content_sha — the within-
+    // stream dup leg's dropDuplicates survivor is arbitrary by path)
+    val batchPairs = StreamingDedup.nearDupAgainstCorpus(
+      StreamingDedup.firstSeen(
+        StreamingDedup.prepareStream(spark.read.parquet(inDir), cfg),
+        Some(t.docs),
+        None
+      ),
+      t.vocab,
+      encodedReps,
+      index,
+      cfg,
+      hot
+    )
+    val key = Seq("group", "content_sha", "corpus_doc_id", "sim").map(col)
+    val a = outPairs.select(key: _*)
+    val b = batchPairs.select(key: _*)
+    val diff = a.except(b).count() + b.except(a).count()
+    println(s"stream/batch parity: ${if (diff == 0) "OK" else s"MISMATCH ($diff rows)"}")
+
+    println("near-dup sims vs corpus (top 5):")
+    outPairs.orderBy(desc("sim"), asc("path")).show(5, truncate = false)
+    println("windowed ingest stats:")
+    spark.table("ingest_stats").orderBy("window_start", "group").show(10, truncate = false)
+    index.unpersist()
+    encodedReps.unpersist()
   }
 }

@@ -109,4 +109,57 @@ object CorpusGen {
   /** Driver-side variant for tiny unit-test corpora. */
   def corpusLocal(n: Int, seed: Long = 42L): Seq[CodeFile] =
     (0 until n).map(i => file(i.toLong, seed))
+
+  /** Ingest-stream file `i` arriving against a generated corpus of `n` files
+    * (the CLI's `--stream` mode). Pure function of (i, n, seed) — two runs
+    * replay the identical stream.
+    *
+    * Planted mix, by stream index i:
+    *  - i % 4 == 0: EXACT re-upload of corpus file (i*7919 mod n) under a
+    *    new repo/commit — the first-seen gate's known-corpus anti-join must
+    *    drop it.
+    *  - i % 4 == 1: NEAR duplicate of a corpus BASE file (every 10th token
+    *    removed => set-Jaccard ~0.9) — passes the gate and must surface
+    *    through the stream-static LSH near-dup join.
+    *  - i % 4 == 2: NOVEL file in a stream-only token namespace — passes
+    *    the gate, matches nothing.
+    *  - i % 4 == 3: within-stream duplicate of stream file i-1 under a
+    *    different path — the gate's stateful dropDuplicates leg must drop
+    *    it.
+    */
+  def streamFile(i: Long, n: Long, seed: Long = 42L): CodeFile = {
+    require(n >= 20, s"stream generation needs a corpus of >= 20 files, got $n")
+    val repo = f"ingest${i / 100}%04d"
+    val commit = f"s$i%09d"
+    i % 4 match {
+      case 3 =>
+        val orig = streamFile(i - 1, n, seed)
+        orig.copy(path = f"ingest/dup$i%06d." + orig.path.split('.').last)
+      case 0 =>
+        val src = file((i * 7919L) % n, seed)
+        src.copy(repo = repo, path = f"ingest/re$i%06d." + ext(src.lang), commit = commit)
+      case 1 =>
+        // base ids are multiples of 10 (the class roots); same lang as the
+        // base so the pair stays within one group. The trailing i-unique
+        // token keeps every near file's bytes distinct even when two stream
+        // indices sample the same base — without it the first-seen gate
+        // (correctly) collapses the collision and the planted mix shifts.
+        val b = ((i * 104729L) % math.max(2L, n / 10L)) * 10L
+        val src = file(b, seed)
+        val kept = src.content.split(" ").zipWithIndex.collect { case (t, k) if k % 10 != 3 => t }
+        CodeFile(
+          repo,
+          f"ingest/near$i%06d." + ext(src.lang),
+          commit,
+          src.lang,
+          (kept :+ s"zsnear$i").mkString(" ")
+        )
+      case _ =>
+        val lang = langs((i % langs.length).toInt)
+        val r = rng(seed ^ (i * 0x7f4a7c15L))
+        val nTok = 40 + (math.abs(r()) % 40).toInt
+        val body = Array.tabulate(nTok)(k => s"zs${i}n$k")
+        CodeFile(repo, f"ingest/new$i%06d." + ext(lang), commit, lang, body.mkString(" "))
+    }
+  }
 }

@@ -199,4 +199,28 @@ class StreamingSpec extends SparkSpec {
     val expected = streamRows.map(_.content.getBytes("UTF-8").length.toLong).sum
     assert(total == expected)
   }
+
+  test("streamFile plants the documented ingest mix (CLI --stream)") {
+    val n = 2000L
+    // kind 0: byte-identical re-upload of the sampled corpus file
+    val re = CorpusGen.streamFile(4, n)
+    assert(re.content == CorpusGen.file((4 * 7919L) % n, 42L).content)
+    assert(re.repo.startsWith("ingest"))
+    // kind 1: ~90% of a corpus BASE file's tokens + an i-unique marker; same
+    // lang (group) as the base, and distinct bytes across stream indices
+    // that sample the same base
+    val near = CorpusGen.streamFile(1, n)
+    val b = ((1 * 104729L) % (n / 10L)) * 10L
+    val base = CorpusGen.file(b, 42L)
+    assert(near.lang == base.lang)
+    val baseSet = base.content.split(" ").toSet
+    val nearSet = near.content.split(" ").toSet
+    val j = (baseSet & nearSet).size.toDouble / (baseSet | nearSet).size
+    assert(j > 0.7, s"planted near-dup must clear the default threshold, got $j")
+    assert(nearSet.contains("zsnear1"))
+    // kind 3: within-stream duplicate of file i-1 under a different path
+    val novel = CorpusGen.streamFile(2, n)
+    val dup = CorpusGen.streamFile(3, n)
+    assert(dup.content == novel.content && dup.path != novel.path)
+  }
 }
