@@ -108,19 +108,27 @@ object Main {
     import org.apache.spark.sql.streaming.Trigger
 
     // corpus state: exact-class REP encoded sets + hot signature-token ids +
-    // LSH band index (mirrors the signatures-stage inputs in Pipeline.run)
-    val reps = Pipeline
-      .exactClassMap(t.docs.join(t.encoded.select("doc_id"), "doc_id"))
-      .filter(col("doc_id") === col("rep_id"))
-      .select("doc_id")
-    val encodedReps = t.encoded.join(reps, "doc_id").persist()
+    // LSH band index (the signatures-stage inputs, via the shared helper) +
+    // ONE broadcast encode dictionary shared by every probe plan below.
+    // Persisted skinny known-keys frame: stream-static joins re-evaluate the
+    // static subtree per micro-batch, so the gate's corpus side must be a
+    // cached scan, not a recomputed lineage.
+    val encodedReps = Pipeline.repEncoded(t.docs, t.encoded).persist()
     val nDocs = Checkpoints.stageRowCount(spark, s"$work/docs")
     val hot = Vocabulary.hotTokenIds(t.vocab, nDocs, cfg)
     val index = StreamingDedup.corpusIndex(encodedReps, cfg, hot).persist()
+    val knownKeys = t.docs.select("group", "content_sha").distinct().persist()
+    val encFn = Some(StreamingDedup.encodeFnFor(t.vocab))
     println(s"\nstream: index ${index.count()} band entries over ${encodedReps.count()} rep docs")
 
     val inDir = s"$work/stream-in"
     val outDir = s"$work/stream-out"
+    // per-run scratch: unlike the resumable batch stages, the stream sinks
+    // and state checkpoints are NOT config-keyed — stale state from a prior
+    // --stream run (other M, other threshold) would contaminate the counts
+    // and the parity verdict
+    val fs = new org.apache.hadoop.fs.Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(inDir, outDir, s"$work/stream-ck").foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
     spark
       .range(m)
       .map { i =>
@@ -136,8 +144,14 @@ object Main {
     val schema = spark.read.parquet(inDir).schema
     val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(inDir)
     val prepared = StreamingDedup.prepareStream(stream, cfg)
-    val fresh = StreamingDedup.firstSeen(prepared, Some(t.docs), Some(("event_time", "10 minutes")))
-    val pairs = StreamingDedup.nearDupAgainstCorpus(fresh, t.vocab, encodedReps, index, cfg, hot)
+    // the round-robin input files are event-time-disordered across the WHOLE
+    // replay (each micro-batch sees near-max event times), so the gate's
+    // watermark horizon must cover the full m-second span or later batches
+    // get dropped as late; a real deployment sizes this to its ingest
+    // disorder instead
+    val fresh = StreamingDedup.firstSeen(prepared, Some(knownKeys), Some(("event_time", s"${m + 120} seconds")))
+    val pairs =
+      StreamingDedup.nearDupAgainstCorpus(fresh, t.vocab, encodedReps, index, cfg, hot, encFn)
 
     val t0 = System.nanoTime()
     val queries = Seq(
@@ -179,14 +193,15 @@ object Main {
     val batchPairs = StreamingDedup.nearDupAgainstCorpus(
       StreamingDedup.firstSeen(
         StreamingDedup.prepareStream(spark.read.parquet(inDir), cfg),
-        Some(t.docs),
+        Some(knownKeys),
         None
       ),
       t.vocab,
       encodedReps,
       index,
       cfg,
-      hot
+      hot,
+      encFn
     )
     val key = Seq("group", "content_sha", "corpus_doc_id", "sim").map(col)
     val a = outPairs.select(key: _*)
@@ -200,5 +215,6 @@ object Main {
     spark.table("ingest_stats").orderBy("window_start", "group").show(10, truncate = false)
     index.unpersist()
     encodedReps.unpersist()
+    knownKeys.unpersist()
   }
 }

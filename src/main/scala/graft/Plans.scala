@@ -80,8 +80,7 @@ object Plans {
       "streaming near-dup probe (stream-static LSH join, batch-parity shape)" -> {
         val hot = Vocabulary.hotTokenIds(vocab, corpusSize, cfg)
         // the index contract: exact-class representatives only
-        val reps = Pipeline.exactClassMap(docs).filter("doc_id = rep_id").select("doc_id")
-        val encodedReps = encoded.join(reps, "doc_id")
+        val encodedReps = Pipeline.repEncoded(docs, encoded)
         graft.streaming.StreamingDedup.nearDupAgainstCorpus(
           graft.streaming.StreamingDedup.prepareStream(input.limit(50), cfg),
           vocab,

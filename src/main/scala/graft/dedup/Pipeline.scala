@@ -106,6 +106,20 @@ object Pipeline {
       .select(col("doc_id"), col("group"), col("rep_id"))
   }
 
+  /** Exact-class REPRESENTATIVE encoded sets: the frame the signatures stage
+    * builds on, and the contract input for the streaming corpus index
+    * ([[graft.streaming.StreamingDedup.corpusIndex]] — collapse before LSH,
+    * expand after). One definition, so rep selection can never diverge
+    * between the batch and streaming paths. The class map is restricted to
+    * encode-surviving docs, mirroring the signatures stage (pruned docs
+    * carry no signatures). */
+  def repEncoded(docs: DataFrame, encoded: DataFrame): DataFrame = {
+    val reps = exactClassMap(docs.join(encoded.select("doc_id").hint("shuffle_hash"), "doc_id"))
+      .filter(col("doc_id") === col("rep_id"))
+      .select("doc_id")
+    encoded.join(reps.hint("shuffle_hash"), "doc_id")
+  }
+
   def candidatesFor(signatures: DataFrame, cfg: Config): DataFrame =
     MinHash
       .candidatePairs(signatures, cfg)

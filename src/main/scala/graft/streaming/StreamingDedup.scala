@@ -80,7 +80,13 @@ object StreamingDedup {
   ): DataFrame = {
     val fresh = knownDocs match {
       case Some(k) =>
-        val known = k.select(col("group").as("k_group"), col("content_sha").as("k_sha")).distinct()
+        // no distinct(): a left_anti's right side needs no dedup, and a
+        // distinct here would re-shuffle the whole corpus on EVERY
+        // micro-batch (stream-static joins re-evaluate the static subtree
+        // per batch). On big corpora pass a persisted skinny
+        // (group, content_sha) frame so the per-batch static cost is a
+        // cached scan.
+        val known = k.select(col("group").as("k_group"), col("content_sha").as("k_sha"))
         prepared.join(
           known,
           col("group") <=> col("k_group") && col("content_sha") === col("k_sha"),
@@ -193,20 +199,29 @@ object StreamingDedup {
     * with the same `hotTokenIds` — see the rep requirement there. Emitted
     * `corpus_doc_id`s are rep ids; expand over class members with
     * [[Pipeline.exactClassMap]] when per-member pairs are needed. */
+  /** The broadcast-dictionary encode function for `vocab`. Construction is
+    * EAGER and expensive (collects the vocabulary, builds and broadcasts the
+    * CompactDict — [[Vocabulary.broadcastEncodeFn]]): build it once per
+    * corpus state and share it across every plan probing that corpus via the
+    * `encodeFn` parameter of [[nearDupAgainstCorpus]]. */
+  def encodeFnFor(vocab: DataFrame): Column => Column =
+    Vocabulary
+      .broadcastEncodeFn(vocab)
+      .getOrElse(throw new IllegalArgumentException(
+        "vocabulary char blob exceeds Int index space - streaming encode requires the broadcast dictionary; " +
+          "shard the stream by group and encode against per-group vocabularies"
+      ))
+
   def nearDupAgainstCorpus(
       stream: DataFrame,
       vocab: DataFrame,
       encoded: DataFrame,
       index: DataFrame,
       cfg: Config,
-      hotTokenIds: Array[Int] = Array.empty
+      hotTokenIds: Array[Int] = Array.empty,
+      encodeFn: Option[Column => Column] = None
   ): DataFrame = {
-    val encFn = Vocabulary
-      .broadcastEncodeFn(vocab)
-      .getOrElse(throw new IllegalArgumentException(
-        "vocabulary char blob exceeds Int index space - streaming encode requires the broadcast dictionary; " +
-          "shard the stream by group and encode against per-group vocabularies"
-      ))
+    val encFn = encodeFn.getOrElse(encodeFnFor(vocab))
     val enc = stream
       .withColumn("tokens", encFn(col("tokens")))
       .withColumn("n_tokens", size(col("tokens")))

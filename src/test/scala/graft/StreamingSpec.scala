@@ -35,11 +35,7 @@ class StreamingSpec extends SparkSpec {
     val docs = Pipeline.prepareDocs(corpus, cfg).persist()
     val vocab = Vocabulary.build(docs, cfg).persist()
     val encodedAll = Vocabulary.encode(docs, vocab)
-    val reps = Pipeline
-      .exactClassMap(docs)
-      .filter(col("doc_id") === col("rep_id"))
-      .select("doc_id")
-    val encoded = encodedAll.join(reps, "doc_id").persist()
+    val encoded = Pipeline.repEncoded(docs, encodedAll).persist()
     val hot = Vocabulary.hotTokenIds(vocab, docs.count(), cfg)
     val index = StreamingDedup.corpusIndex(encoded, cfg, hot).persist()
     (docs, vocab, encoded, hot, index)
