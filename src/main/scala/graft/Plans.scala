@@ -62,6 +62,9 @@ object Plans {
       // show an InMemoryTableScan and shared() would materialize the whole
       // chain just to print a plan) — dump the un-memoized builders at the
       // same configs instead, so the kernel operators are actually visible.
+      // (The first-collision builder is not job-free: its oversized-bucket
+      // probe runs one aggregation over the small plan corpus at
+      // construction — see PairGen.pairsFromBandBucketsFirstCollision.)
       "first-collision-band candidates (64x2 oracle config, the q23 generator)" ->
         MinHash.candidatePairs(
           MinHash.withSignature(encoded, cfg64), cfg64),

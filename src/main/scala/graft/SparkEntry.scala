@@ -69,7 +69,11 @@ object SparkEntry {
       m: TrieMap[(SparkSession, String), DataFrame],
       s: SparkSession,
       dir: String
-  )(build: => DataFrame): DataFrame = {
+  )(build: => DataFrame): DataFrame = m.synchronized {
+    // synchronized: TrieMap.getOrElseUpdate may evaluate `build` in two
+    // racing threads and discard one result — but a discarded build here has
+    // already persisted + materialized its copy (shared()), doubling memory
+    // until releaseSharedCaches. Serializing builds keeps exactly one.
     m.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     m.getOrElseUpdate((s, dir), build)
   }
@@ -284,7 +288,11 @@ object SparkEntry {
     memo(lshPairsMemo, s, dir) {
       val cfg = oracleLshCfg
       val enc = encCached(s, dir)
-      val sigs = MinHash.withSignature(enc, cfg)
+      // persisted: at this config candidatePairs takes the first-collision
+      // path, whose eager oversized-bucket pre-pass would otherwise compute
+      // the whole minhash chain once for the probe and AGAIN for the pair
+      // job. Transient — dead once shared() below has materialized.
+      val sigs = transientReg.persist(MinHash.withSignature(enc, cfg))
       shared(Jaccard.verifyCounts(MinHash.candidatePairs(sigs, cfg), enc, cfg.threshold))
     }
 

@@ -45,7 +45,14 @@ object PairGen {
 
   val ChainWidth = 4
 
-  /** rows: bucket key columns + `doc_id`. Returns distinct (a, b), a < b. */
+  /** rows: bucket key columns + `doc_id`. Returns distinct (a, b), a < b.
+    *
+    * The streaming bucket/cap/chain state machine below has a deliberate
+    * TWIN in [[pairsFromBandBucketsFirstCollision]] (different emission:
+    * pairs filtered to their first collision band, so it buffers signatures
+    * too). Any change to bucket boundaries, cap crossing, or chain-window
+    * maintenance must be applied to BOTH — the PairGen spec asserts their
+    * emitted pair sets stay equal. */
   def pairsFromBuckets(rows: DataFrame, bucketCols: Seq[String], maxBucket: Int): DataFrame = {
     val keys = bucketCols.map(col)
     val spark = rows.sparkSession
@@ -186,6 +193,17 @@ object PairGen {
     * exchange width, which only pays when the duplication factor is large.
     * Measured: production 32x4 config dup factor 1.92 (keep
     * pairsFromBuckets); oracle 64x2 config dup factor 27 (use this).
+    *
+    * Memory shape vs [[pairsFromBuckets]]: buffering a bucket holds every
+    * member's full hash array, up to min(|bucket|, maxBucket+1) x bands x
+    * 8 bytes per task (chain mode drops the buffers past the cap), where
+    * the default generator buffers bare ids. Capped production-style
+    * configs stay ~1 MB/task; an UNCAPPED config (oracle-parity
+    * maxBucket = 1<<20) accepts up to ~0.5 GB on a pathological hot bucket
+    * as the price of exact pair parity — cap maxBucket when taking this
+    * path at scale. The oversized-key probe's driver cost is bounded by
+    * [[OversizedBroadcastMax]] keys (~100 MB transient worst-case) before
+    * the wholesale fallback.
     *
     * rows: groupCols ++ (band: int, band_hash: long, doc_id, bhs:
     * array<long> — the doc's hash per band, indexed by `band`). */

@@ -127,7 +127,11 @@ private[dedup] object WordScan {
   def scan(s0: UTF8String): (String, Array[Int]) = {
     val s = s0.toLowerCase.toString
     val n = s.length
-    val offs = new scala.collection.mutable.ArrayBuffer[Int]()
+    // primitive growable buffer — this runs per ROW inside compiled kernels,
+    // so a boxed ArrayBuffer[Int] would re-introduce the per-word allocation
+    // the kernels exist to avoid
+    var offs = new Array[Int](16)
+    var m = 0
     var i = 0
     while (i < n) {
       val c = s.charAt(i)
@@ -136,11 +140,12 @@ private[dedup] object WordScan {
         while (j < n && {
           val d = s.charAt(j); (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
         }) j += 1
-        offs += i; offs += j
+        if (m + 2 > offs.length) offs = java.util.Arrays.copyOf(offs, offs.length * 2)
+        offs(m) = i; offs(m + 1) = j; m += 2
         i = j
       } else i += 1
     }
-    (s, offs.toArray)
+    (s, if (m == offs.length) offs else java.util.Arrays.copyOf(offs, m))
   }
 }
 
