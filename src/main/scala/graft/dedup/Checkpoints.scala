@@ -59,18 +59,46 @@ object Checkpoints {
     while (it.hasMoreElements) awaitSidecar(it.nextElement())
   }
 
-  /** Run `build` unless `path` already holds a completed stage; always return
-    * the checkpointed table. Writes row-count metrics per partition column
-    * value (per-partition lineage) into `<path>_metrics`.
+  /** Run `build` unless `path` already holds a completed stage BUILT UNDER
+    * THE SAME CONFIG; always return the checkpointed table. Writes row-count
+    * metrics per partition column value (per-partition lineage) into
+    * `<path>_metrics`.
+    *
+    * `configSig`: the canonical config string the stage's content depends on
+    * (one entry of [[Config.stageFingerprints]]). Non-empty sigs are stamped
+    * into the lineage manifest at commit; a resumed stage whose stored sig
+    * differs is REBUILT (with a warning) instead of silently returned — with
+    * the cumulative per-stage sigs, re-running a work dir with a changed
+    * `threshold` reuses every checkpoint up to candidates and recomputes
+    * only verify + components. Empty sig = unchecked (ad-hoc callers);
+    * pre-guard checkpoints (no sig in their manifest) are accepted and
+    * re-stamped on heal. The work dir's INPUT TABLE is not fingerprinted —
+    * pointing one work dir at different inputs still reuses stages, exactly
+    * like the reference's file-existence memoization.
     */
   def stage(
       spark: SparkSession,
       name: String,
       path: String,
       partitionCols: Seq[String] = Nil,
-      inputs: Seq[String] = Nil
+      inputs: Seq[String] = Nil,
+      configSig: String = ""
   )(build: => DataFrame): DataFrame = {
-    if (!exists(spark, path)) {
+    // drain any still-in-flight async sidecar for this path FIRST: a second
+    // stage() call over the same dir in one JVM would otherwise race the
+    // pending write (mis-reading a half-written manifest as pre-guard, or
+    // heal-over a half-written _metrics dir)
+    awaitSidecar(path)
+    val complete = exists(spark, path)
+    val staleCfg = if (complete) storedSigMismatch(spark, path, configSig) else None
+    staleCfg.foreach { stored =>
+      System.err.println(
+        s"[graft] stage '$name' at $path was checkpointed under a different config " +
+          s"(stored: $stored; current: $configSig) — rebuilding it and stamping the new sig. " +
+          "Downstream stages carry cumulative sigs, so they rebuild too."
+      )
+    }
+    if (!complete || staleCfg.nonEmpty) {
       val t0 = System.nanoTime()
       val df = build
       // zstd (not snappy), DEFAULT dictionary budget: token-array columns
@@ -86,21 +114,58 @@ object Checkpoints {
       pendingSidecars.put(
         path,
         sidecarPool.submit(new Runnable {
-          def run(): Unit = writeSidecars(spark, name, path, partitionCols, inputs, wallMs)
+          def run(): Unit = writeSidecars(spark, name, path, partitionCols, inputs, wallMs, configSig)
         })
       )
-    } else {
-      // drain any still-in-flight async sidecar for this path FIRST: a second
-      // stage() call over the same dir in one JVM would otherwise race the
-      // pending write and could heal-over a half-written _metrics dir
-      awaitSidecar(path)
-      if (!exists(spark, path + "_metrics")) {
-        // heal a run killed between data commit and sidecar write: the stage
-        // itself is complete (atomic _SUCCESS), only the sidecar is missing
-        writeSidecars(spark, name, path, partitionCols, inputs, wallMs = 0L)
-      }
+    } else if (!exists(spark, path + "_metrics")) {
+      // heal a run killed between data commit and sidecar write: the stage
+      // itself is complete (atomic _SUCCESS), only the sidecar is missing.
+      // (Known double-fault gap: the healed manifest stamps the CURRENT
+      // configSig — if the killed run used a different config, that one
+      // stage's data predates the stamp. The window is a single stage's
+      // commit-to-sidecar gap, and the interleaving needs a config change
+      // across the crash; a paranoid operator deletes the last stage dir
+      // after any crashed run that also changed config.)
+      writeSidecars(spark, name, path, partitionCols, inputs, wallMs = 0L, configSig)
     }
     spark.read.parquet(path)
+  }
+
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest
+      .getInstance("SHA-256")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map(b => f"$b%02x")
+      .mkString
+
+  /** Some(storedConfigString) when the stage's lineage manifest records a
+    * DIFFERENT config sig than the current run's; None when it matches or
+    * cannot be checked. Comparison uses the sig's sha-256 (fixed charset —
+    * immune to whatever characters the sig itself contains); manifests
+    * without a sig (pre-guard runs, ad-hoc stages) are accepted as-is. */
+  private def storedSigMismatch(
+      spark: SparkSession,
+      path: String,
+      configSig: String
+  ): Option[String] = {
+    if (configSig.isEmpty) return None
+    val lp = new Path(path + "_lineage.json")
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(lp)) return None
+    val in = fs.open(lp)
+    val txt =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+      finally in.close()
+    "\"config_sha\":\"([0-9a-f]{64})\"".r.findFirstMatchIn(txt).flatMap { m =>
+      if (m.group(1) == sha256Hex(configSig)) None
+      else
+        Some(
+          "\"config\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+            .findFirstMatchIn(txt)
+            .map(_.group(1))
+            .getOrElse("<unavailable>")
+        )
+    }
   }
 
   /** Metrics (per-partition rows) + lineage manifest for a committed stage.
@@ -118,7 +183,8 @@ object Checkpoints {
       path: String,
       partitionCols: Seq[String],
       inputs: Seq[String],
-      wallMs: Long
+      wallMs: Long,
+      configSig: String = ""
   ): Unit = {
     val written = spark.read.parquet(path)
     val counts =
@@ -146,8 +212,11 @@ object Checkpoints {
       .mode("overwrite")
       .parquet(path + "_metrics")
 
+    val cfgFields =
+      if (configSig.isEmpty) ""
+      else s""","config":${JsonText.quote(configSig)},"config_sha":"${sha256Hex(configSig)}""""
     val lineage =
-      s"""{"stage":${JsonText.quote(name)},"path":${JsonText.quote(path)},"inputs":[${inputs.map(JsonText.quote).mkString(",")}],"wall_ms":${wallMs}}"""
+      s"""{"stage":${JsonText.quote(name)},"path":${JsonText.quote(path)},"inputs":[${inputs.map(JsonText.quote).mkString(",")}],"wall_ms":${wallMs}$cfgFields}"""
     val lp = new Path(path + "_lineage.json")
     val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(lp, true)

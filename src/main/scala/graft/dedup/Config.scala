@@ -59,6 +59,37 @@ final case class Config(
   require(numPerms % bands == 0, s"bands=$bands must divide numPerms=$numPerms")
   def rowsPerBand: Int = numPerms / bands
 
+  /** Per-stage CUMULATIVE config fingerprints: each stage's sig names every
+    * config field its CONTENT depends on, including (by string-prefix
+    * construction) everything upstream — so a changed field invalidates
+    * exactly the stage that first consumes it and all its descendants.
+    * [[Checkpoints.stage]] stamps the sig into the lineage manifest at
+    * commit and REBUILDS (with a warning) a resumed stage whose stored sig
+    * differs, instead of silently returning stale results — re-running a
+    * 10^12-file work dir with a new `threshold` reuses the expensive
+    * tokenize/signature/candidate checkpoints and recomputes only
+    * verify + components. Deliberately excluded: `broadcastMaxVocab`
+    * (selects the encode PLAN; output is bitwise-equal across plans — bench
+    * evidence leg) and `topN`/`substringDedup` (gate optional stages whose
+    * sigs append their own knobs in [[Pipeline.run]]). */
+  def stageFingerprints: Map[String, String] = {
+    val docs = s"groupCols=${groupCols.mkString(",")};shingleK=$shingleK"
+    val vocab = docs + s";minDf=$minDf"
+    val encoded = vocab // dense ids over the vocab applied to docs tokens
+    val signatures = encoded + s";numPerms=$numPerms;seed=$seed;maxDf=$maxDf"
+    val candidates = signatures + s";bands=$bands;maxBucket=$maxBucket"
+    val pairs = candidates + s";threshold=$threshold"
+    Map(
+      "docs" -> docs,
+      "vocab" -> vocab,
+      "encoded" -> encoded,
+      "signatures" -> signatures,
+      "candidates" -> candidates,
+      "pairs" -> pairs,
+      "components" -> pairs // a pure function of the pair table
+    )
+  }
+
   /** Probability that LSH banding emits a pair with true Jaccard s. */
   def captureProbability(s: Double): Double =
     1.0 - math.pow(1.0 - math.pow(s, rowsPerBand.toDouble), bands.toDouble)

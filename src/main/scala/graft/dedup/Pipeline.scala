@@ -164,19 +164,24 @@ object Pipeline {
     // created (never another concurrent run's in-flight id-assignment
     // scaffolding — the round-4 global release hook's hazard)
     val reg = new CacheRegistry
+    // per-stage cumulative config sigs, stamped into each lineage manifest;
+    // a rerun over this workDir with changed semantics rebuilds exactly the
+    // stages whose content the change reaches (e.g. a new threshold reuses
+    // docs..candidates and recomputes pairs + components)
+    val sig = cfg.stageFingerprints
 
-    val docs = Checkpoints.stage(spark, "docs", p("docs"), Seq("group"))(
+    val docs = Checkpoints.stage(spark, "docs", p("docs"), Seq("group"), Nil, sig("docs"))(
       prepareDocs(input, cfg, reg)
     )
     // the id-assignment caches inside prepareDocs are dead weight once the
     // stage is parquet-committed (stage() re-reads from disk) — free them
     // before the wide stages start competing for executor memory
     reg.release()
-    val vocab = Checkpoints.stage(spark, "vocab", p("vocab"), Nil, Seq(p("docs")))(
+    val vocab = Checkpoints.stage(spark, "vocab", p("vocab"), Nil, Seq(p("docs")), sig("vocab"))(
       Vocabulary.build(docs, cfg, reg)
     )
     reg.release()
-    val encoded = Checkpoints.stage(spark, "encoded", p("encoded"), Seq("group"), Seq(p("docs"), p("vocab")))(
+    val encoded = Checkpoints.stage(spark, "encoded", p("encoded"), Seq("group"), Seq(p("docs"), p("vocab")), sig("encoded"))(
       // vocab size from the metrics sidecar picks the encode plan
       // (broadcast map vs shuffle join) without an extra count job
       Vocabulary.encode(docs, vocab, Some(Checkpoints.stageRowCount(spark, p("vocab"))), cfg.broadcastMaxVocab)
@@ -189,7 +194,7 @@ object Pipeline {
       exactClassMap(docs.join(encoded.select("doc_id").hint("shuffle_hash"), "doc_id"))
     )
 
-    val signatures = Checkpoints.stage(spark, "signatures", p("signatures"), Seq("group"), Seq(p("encoded")))({
+    val signatures = Checkpoints.stage(spark, "signatures", p("signatures"), Seq("group"), Seq(p("encoded")), sig("signatures"))({
       // Boilerplate cap: tokens in more than maxDf of docs (license headers,
       // ubiquitous keywords) are excluded from SIGNATURES — without this,
       // every boilerplate-sharing doc pair has Jaccard ~0.2-0.3 and LSH
@@ -216,17 +221,17 @@ object Pipeline {
         .drop("tokens") // signature table carries signatures, not sets
     })
 
-    val candidates = Checkpoints.stage(spark, "candidates", p("candidates"), Nil, Seq(p("signatures")))(
+    val candidates = Checkpoints.stage(spark, "candidates", p("candidates"), Nil, Seq(p("signatures")), sig("candidates"))(
       candidatesFor(signatures, cfg)
     )
 
-    val pairs = Checkpoints.stage(spark, "pairs", p("pairs"), Seq("group"), Seq(p("candidates"), p("encoded")))(
+    val pairs = Checkpoints.stage(spark, "pairs", p("pairs"), Seq("group"), Seq(p("candidates"), p("encoded")), sig("pairs"))(
       expandExactClasses(Jaccard.verify(candidates, encoded, cfg.threshold), classMap)
     )
     // classMap's last consumer (the pairs stage) is parquet-committed
     reg.release()
 
-    val components = Checkpoints.stage(spark, "components", p("components"), Nil, Seq(p("pairs")))(
+    val components = Checkpoints.stage(spark, "components", p("components"), Nil, Seq(p("pairs")), sig("components"))(
       Components.assignAll(encoded, pairs)
     )
 
@@ -236,7 +241,8 @@ object Pipeline {
     val substring =
       if (!cfg.substringDedup) None
       else
-        Some(Checkpoints.stage(spark, "substring", p("substring"), Nil, Seq(p("docs")))(
+        Some(Checkpoints.stage(spark, "substring", p("substring"), Nil, Seq(p("docs")),
+          sig("docs") + s";substring=${SuffixDedup.SubConfig()}")(
           SuffixDedup.run(
             input
               .dropDuplicates("repo", "path", "commit")
@@ -250,7 +256,7 @@ object Pipeline {
     // main_closest.py:29-47): per-probe ranked matches over the verified
     // pair table, as its own resumable stage.
     val topn = cfg.topN.map { n =>
-      Checkpoints.stage(spark, "topn", p("topn"), Nil, Seq(p("pairs")))(
+      Checkpoints.stage(spark, "topn", p("topn"), Nil, Seq(p("pairs")), sig("pairs") + s";topN=$n")(
         TopN.perProbe(pairs, n)
       )
     }

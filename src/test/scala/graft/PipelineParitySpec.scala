@@ -187,6 +187,30 @@ class PipelineParitySpec extends SparkSpec {
     assert(again == firstPairs)
   }
 
+  test("config-aware resume: a threshold change reuses docs..candidates, rebuilds pairs+components") {
+    val files = CorpusGen.corpusLocal(300)
+    val input = spark.createDataFrame(files)
+    val work = tmpDir("graft-rethreshold")
+    val strict = Pipeline.run(spark, input, Config(threshold = 0.9), work)
+    val strictPairs = pairsOf(strict.pairs)
+    def mtime(stage: String): Long = new java.io.File(s"$work/$stage/_SUCCESS").lastModified()
+    val upstreamBefore = Seq("docs", "vocab", "encoded", "signatures", "candidates").map(mtime)
+    val pairsBefore = mtime("pairs")
+
+    // loosen the threshold against the SAME work dir: upstream checkpoints
+    // must be reused verbatim, verify + components must recompute
+    val loose = Pipeline.run(spark, input, Config(threshold = 0.7), work)
+    val loosePairs = pairsOf(loose.pairs)
+    assert(Seq("docs", "vocab", "encoded", "signatures", "candidates").map(mtime) == upstreamBefore)
+    assert(mtime("pairs") != pairsBefore || strictPairs == loosePairs)
+    assert(strictPairs.subsetOf(loosePairs))
+    assert(loosePairs.exists(_._4 < 0.9), "fixture too weak: no pair between the thresholds")
+
+    // the incrementally-rebuilt result equals a from-scratch run at 0.7
+    val fresh = tmpDir("graft-rethreshold-fresh")
+    assert(pairsOf(Pipeline.run(spark, input, Config(threshold = 0.7), fresh).pairs) == loosePairs)
+  }
+
   test("mega exact-dup class: collapsed before LSH, fully expanded after, one cluster") {
     // the 100 TB hazard this pins: a content duplicated C times must
     // contribute ZERO intra-class LSH candidates (the class collapses to one

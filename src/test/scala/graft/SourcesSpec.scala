@@ -1,6 +1,6 @@
 package graft
 
-import graft.dedup.{Base50, Checkpoints}
+import graft.dedup.{Base50, Checkpoints, Config}
 import org.apache.spark.sql.functions._
 
 /** Coverage for the remaining SURVEY §2 source/sink/codec items: CSV scan
@@ -106,6 +106,47 @@ class SourcesSpec extends SparkSpec {
     )
     assert(resumed.count() == 20)
     assert(Checkpoints.stageRowCount(spark, s"$work/heal") == 20L)
+  }
+
+  test("config guard: resuming a stage under a different config rebuilds it") {
+    val work = tmpDir("graft-cfg-guard")
+    val rows = (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v")
+    val rows2 = (1L to 25L).map(i => (i, s"w$i")).toDF("k", "v")
+    val sigA = Config(threshold = 0.7).stageFingerprints("pairs")
+    val sigB = Config(threshold = 0.5).stageFingerprints("pairs")
+    assert(sigA != sigB)
+    // upstream stages don't depend on threshold: their sigs are unchanged
+    assert(
+      Config(threshold = 0.7).stageFingerprints("candidates") ==
+        Config(threshold = 0.5).stageFingerprints("candidates")
+    )
+    // plan-only knob must NOT change any fingerprint (checkpoints are
+    // reusable across encode plans — the bench evidence leg proves bitwise
+    // equality); shingleK reaches every stage through the cumulative prefix
+    assert(Config(broadcastMaxVocab = 1L).stageFingerprints == Config().stageFingerprints)
+    assert(
+      Config(shingleK = 3).stageFingerprints.forall { case (k, v) =>
+        v != Config().stageFingerprints(k)
+      }
+    )
+    Checkpoints.stage(spark, "g", s"$work/g", Nil, Nil, sigA)(rows)
+    Checkpoints.awaitAllSidecars()
+    // same sig: resumes without rebuilding
+    val resumed = Checkpoints.stage(spark, "g", s"$work/g", Nil, Nil, sigA)(
+      sys.error("build must not re-run"): org.apache.spark.sql.DataFrame
+    )
+    assert(resumed.count() == 10)
+    // different sig: rebuilds (returns the NEW build, not the stale table)
+    val rebuilt = Checkpoints.stage(spark, "g", s"$work/g", Nil, Nil, sigB)(rows2)
+    Checkpoints.awaitAllSidecars()
+    assert(rebuilt.count() == 25)
+    // ... and stamps the new sig: resuming at sigB now skips the build
+    val kept = Checkpoints.stage(spark, "g", s"$work/g", Nil, Nil, sigB)(
+      sys.error("build must not re-run after re-stamp"): org.apache.spark.sql.DataFrame
+    )
+    assert(kept.count() == 25)
+    // empty sig (ad-hoc caller) and pre-guard manifests stay accepted
+    assert(Checkpoints.stage(spark, "g", s"$work/g")(rows).count() == 25)
   }
 
   test("lineage manifest is valid JSON even for paths with quotes/backslashes") {
