@@ -213,6 +213,36 @@ object Main {
     outPairs.orderBy(desc("sim"), asc("path")).show(5, truncate = false)
     println("windowed ingest stats:")
     spark.table("ingest_stats").orderBy("window_start", "group").show(10, truncate = false)
+
+    // fold the accepted batch into the corpus clustering INCREMENTALLY
+    // (Components.merge): ingest ids continue the dense corpus sequence,
+    // near-dup pairs anchor ingest docs to corpus reps, pairless accepted
+    // docs become singletons. No corpus-wide re-clustering.
+    val reg = new CacheRegistry
+    val maxId = t.docs.agg(max(col("doc_id"))).head().getLong(0)
+    val ingestIds = reg.persist(
+      Ids
+        .assignDense(accepted.select("repo", "path", "commit"), Seq("repo", "path", "commit"), "rank", reg)
+        .withColumn("doc_id", col("rank") + lit(maxId + 1L))
+        .drop("rank")
+    )
+    val newEdges = outPairs
+      .join(ingestIds, Seq("repo", "path", "commit"))
+      .select(col("doc_id").as("a"), col("corpus_doc_id").as("b"))
+    val updated = Components.merge(t.components, newEdges, ingestIds.select("doc_id"))
+    val before = t.components.count()
+    val after = updated.count()
+    val absorbed = updated
+      .join(ingestIds.select("doc_id"), "doc_id")
+      .filter(col("cluster_id") <= maxId) // joined an EXISTING cluster
+      .count()
+    val ok = after == before + accepted.count()
+    println(
+      s"stream: components merged incrementally: $before -> $after assignments " +
+        s"($absorbed ingest docs absorbed into existing clusters); " +
+        s"coverage ${if (ok) "OK" else "MISMATCH"}"
+    )
+    reg.release()
     index.unpersist()
     encodedReps.unpersist()
     knownKeys.unpersist()

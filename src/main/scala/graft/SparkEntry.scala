@@ -677,6 +677,21 @@ object SparkEntry {
     }),
     "q25_components" -> ((s, dir) =>
       Components.assignAll(encCached(s, dir), lshVerifiedCached(s, dir))),
+    // Incremental components maintenance (the 10^12-file ingest path): docs
+    // with doc_id % 11 == 0 "arrive later" — cluster the base corpus first,
+    // then fold the late docs' pairs in via Components.merge. The oracle is
+    // the SAME full-recompute recursive CTE as q25: incremental == full is
+    // exactly the property being checked.
+    "q25b_components_incremental" -> ((s, dir) => {
+      val enc = encCached(s, dir)
+      val pairs = lshVerifiedCached(s, dir)
+      val late = col("doc_id") % 11 === 0
+      val baseDocs = enc.filter(!late).select("doc_id")
+      val newDocs = enc.filter(late).select("doc_id")
+      val basePairs = pairs.filter(col("a") % 11 =!= 0 && col("b") % 11 =!= 0)
+      val deltaPairs = pairs.filter(col("a") % 11 === 0 || col("b") % 11 === 0)
+      Components.merge(Components.assignAll(baseDocs, basePairs), deltaPairs, newDocs)
+    }),
     "q28_lsh_cosine_top3" -> ((s, dir) =>
       // ids + rank only (the cosine double is an order-dependent aggregate);
       // the oracle reproduces the sketch from the literal hyperplane matrix
@@ -1025,6 +1040,17 @@ object SparkEntry {
          |SELECT pc.lang, pc.a, pc.b, pc.inter_cnt, pc.union_cnt, pc.sim
          |FROM pc JOIN cp ON pc.a = cp.a AND pc.b = cp.b""".stripMargin.replace("\n", " "),
     "q25_components" ->
+      s"""WITH RECURSIVE $prunedTokensCte,
+         |${pairsWithCountsSql(0.5)},
+         |e AS (SELECT a AS u, b AS v FROM pc UNION ALL SELECT b, a FROM pc),
+         |r(node, lab) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e) t
+         |  UNION SELECT e.v, r.lab FROM r JOIN e ON r.node = e.u),
+         |cc AS (SELECT node, min(lab) AS cluster_id FROM r GROUP BY node)
+         |SELECT sz.doc_id, CAST(coalesce(cc.cluster_id, sz.doc_id) AS BIGINT) AS cluster_id
+         |FROM sz LEFT JOIN cc ON sz.doc_id = cc.node""".stripMargin.replace("\n", " "),
+    // identical full-recompute oracle as q25 — the incremental merge must
+    // converge to the same assignment
+    "q25b_components_incremental" ->
       s"""WITH RECURSIVE $prunedTokensCte,
          |${pairsWithCountsSql(0.5)},
          |e AS (SELECT a AS u, b AS v FROM pc UNION ALL SELECT b, a FROM pc),

@@ -237,4 +237,79 @@ object Components {
       .join(cc, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
+
+  /** INCREMENTAL components maintenance: fold a batch of new pairs (and new
+    * docs) into an existing assignment without re-clustering the corpus —
+    * the ingest-time operation at 10^12 files, where a day's delta is
+    * orders of magnitude smaller than the corpus and a full [[assignAll]]
+    * re-run would re-shuffle every stored pair.
+    *
+    * Correctness: `existing` is a LOSSLESS summary of prior connectivity
+    * (doc -> component), and its cluster_id is already the component MIN.
+    * So connected components over the tiny graph
+    *
+    *   newPairs  UNION  { (touched doc, its existing cluster_id) }
+    *
+    * — each new-pair endpoint tied to its old component's representative —
+    * yields exactly the merged components, with the merged min arising from
+    * the representative ids themselves (every member is >= its cluster_id,
+    * so no member outside the delta graph can change the min). Members of
+    * merged clusters are then relabeled through one old->new cluster-id map
+    * (skinny: one row per ABSORBED old cluster — AQE broadcasts it against
+    * the assignment table, a map-side rewrite with no corpus shuffle), and
+    * docs in `newDocs` absent from the graph become singletons.
+    *
+    * Cost scales with the DELTA (|newPairs| + touched clusters), plus one
+    * broadcast-join scan of the assignment table to apply the relabel; the
+    * suite asserts merge(assignAll(base), delta) == assignAll(base u delta)
+    * on randomized graphs.
+    *
+    * `existing`: (doc_id, cluster_id) — complete over the current corpus.
+    * `newPairs`: (a, b) edges among new and/or existing docs.
+    * `newDocs`:  (doc_id) docs entering the corpus in this batch (pairless
+    *             ones become singletons); pass the accepted-ingest frame.
+    */
+  def merge(
+      existing: DataFrame,
+      newPairs: DataFrame,
+      newDocs: DataFrame,
+      driverLocalMaxEdges: Long = DriverLocalMaxEdges
+  ): DataFrame = {
+    val touched = newPairs
+      .select(col("a").as("doc_id"))
+      .unionByName(newPairs.select(col("b").as("doc_id")))
+      .distinct()
+    // (touched doc -> old representative) for docs already assigned; docs
+    // new to the corpus have no row and enter the delta graph bare
+    val anchor = existing
+      .join(touched.hint("shuffle_hash"), "doc_id")
+      .filter(col("doc_id") =!= col("cluster_id")) // self-anchors add nothing
+      .select(col("doc_id").as("a"), col("cluster_id").as("b"))
+    val delta = run(newPairs.select("a", "b").unionByName(anchor), driverLocalMaxEdges)
+
+    // old cluster ids absorbed into a (necessarily smaller-or-equal) new id:
+    // exactly the delta-graph nodes that are some existing row's cluster_id
+    val relabel = delta
+      .join(
+        existing.select(col("cluster_id").as("doc_id")).distinct().hint("shuffle_hash"),
+        "doc_id"
+      )
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("old_cid"), col("cluster_id").as("new_cid"))
+
+    val relabeled = existing
+      .join(relabel, existing("cluster_id") === relabel("old_cid"), "left")
+      .select(col("doc_id"), coalesce(col("new_cid"), col("cluster_id")).as("cluster_id"))
+
+    // brand-new docs: their delta-graph assignment, else singleton
+    val incoming = newDocs
+      .select(col("doc_id"))
+      .unionByName(touched)
+      .distinct()
+      .join(existing.select("doc_id").hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+      .join(delta, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+
+    relabeled.unionByName(incoming)
+  }
 }

@@ -375,4 +375,44 @@ class KernelSpec extends SparkSpec {
       assert(got == wantCovered, s"trial $trial edges=$edges")
     }
   }
+
+  test("incremental merge equals full recompute (randomized base + delta)") {
+    val rnd = new scala.util.Random(171717)
+    (0 until 5).foreach { trial =>
+      val nBase = 20 + rnd.nextInt(50) // docs 0..nBase-1 exist up front
+      val nNew = 1 + rnd.nextInt(15) // docs nBase..nBase+nNew-1 arrive in the delta
+      val baseEdges = List
+        .fill(1 + rnd.nextInt(60))((rnd.nextInt(nBase).toLong, rnd.nextInt(nBase).toLong))
+        .filter(e => e._1 != e._2)
+      // delta edges may touch old docs, new docs, or bridge the two
+      val all = nBase + nNew
+      val deltaEdges = List
+        .fill(1 + rnd.nextInt(40))((rnd.nextInt(all).toLong, rnd.nextInt(all).toLong))
+        .filter(e => e._1 != e._2)
+      val baseDocs = (0L until nBase.toLong).map(Tuple1(_)).toDF("doc_id")
+      val newDocs = (nBase.toLong until all.toLong).map(Tuple1(_)).toDF("doc_id")
+      val existing = Components.assignAll(baseDocs, baseEdges.toDF("a", "b"))
+      // exercise the distributed delta path on one trial, driver-local else
+      val localMax = if (trial == 0) 0L else Components.DriverLocalMaxEdges
+      val got = Components
+        .merge(existing, deltaEdges.toDF("a", "b"), newDocs, localMax)
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      val want = Components
+        .assignAll(baseDocs.unionByName(newDocs), (baseEdges ++ deltaEdges).toDF("a", "b"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      assert(got == want, s"trial $trial base=$baseEdges delta=$deltaEdges")
+      // empty delta: merge is the identity on the assignment
+      val idle = Components
+        .merge(existing, Seq.empty[(Long, Long)].toDF("a", "b"), spark.emptyDataset[Long].toDF("doc_id"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      val before = existing.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(idle == before, s"trial $trial: empty delta changed the assignment")
+    }
+  }
 }
