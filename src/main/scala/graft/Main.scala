@@ -229,7 +229,7 @@ object Main {
     val newEdges = outPairs
       .join(ingestIds, Seq("repo", "path", "commit"))
       .select(col("doc_id").as("a"), col("corpus_doc_id").as("b"))
-    val updated = Components.merge(t.components, newEdges, ingestIds.select("doc_id"))
+    val updated = Components.merge(t.components, newEdges, ingestIds.select("doc_id"), reg = reg)
     val before = t.components.count()
     val after = updated.count()
     val absorbed = updated

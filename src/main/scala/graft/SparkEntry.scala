@@ -690,7 +690,12 @@ object SparkEntry {
       val newDocs = enc.filter(late).select("doc_id")
       val basePairs = pairs.filter(col("a") % 11 =!= 0 && col("b") % 11 =!= 0)
       val deltaPairs = pairs.filter(col("a") % 11 === 0 || col("b") % 11 === 0)
-      Components.merge(Components.assignAll(baseDocs, basePairs), deltaPairs, newDocs)
+      Components.merge(
+        Components.assignAll(baseDocs, basePairs),
+        deltaPairs,
+        newDocs,
+        reg = transientReg
+      )
     }),
     "q28_lsh_cosine_top3" -> ((s, dir) =>
       // ids + rank only (the cosine double is an order-dependent aggregate);

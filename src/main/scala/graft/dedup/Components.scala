@@ -268,37 +268,47 @@ object Components {
     * `newPairs`: (a, b) edges among new and/or existing docs.
     * `newDocs`:  (doc_id) docs entering the corpus in this batch (pairless
     *             ones become singletons); pass the accepted-ingest frame.
+    * `reg`:      cache owner for the scaffolding persists — `existing`,
+    *             `touched` and the delta assignment each feed several joins
+    *             below; without a persisted copy each reference re-evaluates
+    *             the caller's (possibly expensive) assignment plan.
     */
   def merge(
       existing: DataFrame,
       newPairs: DataFrame,
       newDocs: DataFrame,
-      driverLocalMaxEdges: Long = DriverLocalMaxEdges
+      driverLocalMaxEdges: Long = DriverLocalMaxEdges,
+      reg: CacheRegistry = CacheRegistry.unmanaged
   ): DataFrame = {
-    val touched = newPairs
-      .select(col("a").as("doc_id"))
-      .unionByName(newPairs.select(col("b").as("doc_id")))
-      .distinct()
+    val ex = reg.persist(existing)
+    val touched = reg.persist(
+      newPairs
+        .select(col("a").as("doc_id"))
+        .unionByName(newPairs.select(col("b").as("doc_id")))
+        .distinct()
+    )
     // (touched doc -> old representative) for docs already assigned; docs
     // new to the corpus have no row and enter the delta graph bare
-    val anchor = existing
+    val anchor = ex
       .join(touched.hint("shuffle_hash"), "doc_id")
       .filter(col("doc_id") =!= col("cluster_id")) // self-anchors add nothing
       .select(col("doc_id").as("a"), col("cluster_id").as("b"))
-    val delta = run(newPairs.select("a", "b").unionByName(anchor), driverLocalMaxEdges)
+    val delta = reg.persist(
+      run(newPairs.select("a", "b").unionByName(anchor), driverLocalMaxEdges)
+    )
 
     // old cluster ids absorbed into a (necessarily smaller-or-equal) new id:
     // exactly the delta-graph nodes that are some existing row's cluster_id
     val relabel = delta
       .join(
-        existing.select(col("cluster_id").as("doc_id")).distinct().hint("shuffle_hash"),
+        ex.select(col("cluster_id").as("doc_id")).distinct().hint("shuffle_hash"),
         "doc_id"
       )
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("old_cid"), col("cluster_id").as("new_cid"))
 
-    val relabeled = existing
-      .join(relabel, existing("cluster_id") === relabel("old_cid"), "left")
+    val relabeled = ex
+      .join(relabel, ex("cluster_id") === relabel("old_cid"), "left")
       .select(col("doc_id"), coalesce(col("new_cid"), col("cluster_id")).as("cluster_id"))
 
     // brand-new docs: their delta-graph assignment, else singleton
@@ -306,7 +316,7 @@ object Components {
       .select(col("doc_id"))
       .unionByName(touched)
       .distinct()
-      .join(existing.select("doc_id").hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+      .join(ex.select("doc_id").hint("shuffle_hash"), Seq("doc_id"), "left_anti")
       .join(delta, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
 
