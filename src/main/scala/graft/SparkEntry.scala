@@ -856,7 +856,15 @@ object SparkEntry {
       // ids only: the cosine itself is an order-dependent float aggregate.
       // Blocked exact path — same pair set as the brute-force oracle by
       // construction (no LSH recall gamble against the equality gate).
-      Similarity.nearDupPairsBlocked(t(s, dir, "embeddings"), 0.35).select("a", "b"))
+      Similarity.nearDupPairsBlocked(t(s, dir, "embeddings"), 0.35).select("a", "b")),
+
+    // ---- semantic dedup (SemDeDup, arXiv:2303.09540) ----
+    // Cluster embeddings with the deterministic coarse quantizer, drop
+    // within-cluster semantic near-dups at the cosine threshold keeping the
+    // lowest vec_id — sub-quadratic (~n^1.5) semantic dedup, the embedding
+    // sibling of the MinHash/SimHash detectors.
+    "q37_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(t(s, dir, "embeddings"), minCosine = 0.35, reg = transientReg))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1188,6 +1196,24 @@ object SparkEntry {
         |  / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * v)))
         |     * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * v)))) AS cosine
         |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
-        |WHERE cosine >= 0.35""".stripMargin.replace("\n", " ")
+        |WHERE cosine >= 0.35""".stripMargin.replace("\n", " "),
+    // q37: same deterministic quantizer CTEs as q36, then the SemDeDup keep
+    // rule — removed iff a lower-vec_id same-cluster member is >= threshold
+    "q37_semdedup" ->
+      s"""WITH nc AS (SELECT greatest(16, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS n
+         |  FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+         |  FROM embeddings QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT n FROM nc)),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |scores AS (SELECT e.vec_id, cent.cid, ${cosineSql("e.v", "cent.cv")} AS score
+         |  FROM e CROSS JOIN cent),
+         |pr AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS pr
+         |  FROM scores WHERE NOT isnan(score)),
+         |assign AS (SELECT vec_id, cid FROM pr WHERE pr = 1),
+         |m AS (SELECT a.cid, a.vec_id, e.v FROM assign a JOIN e ON a.vec_id = e.vec_id),
+         |rem AS (SELECT DISTINCT y.vec_id AS vec_id FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id
+         |  WHERE ${cosineSql("x.v", "y.v")} >= 0.35)
+         |SELECT a.vec_id, a.cid, (r.vec_id IS NULL) AS kept
+         |FROM assign a LEFT JOIN rem r ON a.vec_id = r.vec_id""".stripMargin.replace("\n", " ")
   )
 }

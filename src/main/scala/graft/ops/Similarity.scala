@@ -409,6 +409,80 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication", arXiv:2303.09540): partition the
+    * embedding space with a coarse quantizer, then mark within-cluster
+    * semantic duplicates at a cosine threshold — the sub-quadratic semantic
+    * dedup used on web-scale LLM corpora. Quadratic work happens only WITHIN
+    * clusters (~n^1.5 total at the adaptive sqrt(n) centroid count), and the
+    * cluster self-join is an equi-join on cid that shuffles each cluster to
+    * one task — the same scale shape as the paper's per-cluster pass.
+    *
+    * Determinism contract matches [[ivfCosineTopK]]: centroids are the
+    * `nCentroids` lowest vec_ids ([[refineCentroids]] would change values,
+    * not plan shape), assignment ties break toward the lowest centroid id,
+    * and the keep rule is "a vector is removed iff a LOWER-vec_id member of
+    * its cluster is within `minCosine`" — the paper keeps one example per
+    * epsilon-neighborhood; lowest-id is the deterministic representative an
+    * ANSI oracle can reproduce value-for-value (q37).
+    *
+    * Emits (vec_id, cid, kept) for every vector with a non-degenerate
+    * embedding (zero-norm vectors have no nearest centroid, as in q36).
+    */
+  def semDedup(
+      embeddings: DataFrame,
+      minCosine: Double,
+      nCentroids: Int = 0,
+      reg: graft.dedup.CacheRegistry = graft.dedup.CacheRegistry.unmanaged
+  ): DataFrame = {
+    val nc =
+      if (nCentroids > 0) nCentroids
+      else math.max(16, math.ceil(math.sqrt(embeddings.count().toDouble)).toInt)
+    val cents = centroids(embeddings, nc)
+    val spark = embeddings.sparkSession
+    val bCents = spark.sparkContext.broadcast(cents)
+    val nearestUdf = udf { (emb: Seq[Float]) =>
+      val cs = bCents.value
+      var best = -1L
+      var bestScore = Double.NegativeInfinity
+      var j = 0
+      while (j < cs.length) {
+        val c = cs(j)._2
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < c.length) {
+          val x = emb(i).toDouble; val y = c(i)
+          dot += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        val s = dot / (math.sqrt(na) * math.sqrt(nb))
+        // strict > over the cid-ascending broadcast = ties keep lowest cid,
+        // the SQL oracle's (score DESC, cid) ordering; NaN loses every
+        // comparison so zero-norm vectors stay unassigned (best = -1)
+        if (s == s && s > bestScore) { bestScore = s; best = cs(j)._1 }
+        j += 1
+      }
+      best
+    }
+    val assigned = reg.persist(
+      embeddings
+        .select(col("vec_id"), col("embedding"), nearestUdf(col("embedding")).as("cid"))
+        .filter(col("cid") >= 0)
+    )
+    val leftM = assigned.select(col("cid"), col("vec_id").as("a"), col("embedding").as("va"))
+    val rightM = assigned.select(col("cid"), col("vec_id").as("b"), col("embedding").as("vb"))
+    val removed = leftM
+      .join(rightM, "cid")
+      .filter(col("a") < col("b"))
+      .select(col("b").as("vec_id"), graft.dedup.CosineFloat(col("va"), col("vb")).as("cosine"))
+      .filter(!isnan(col("cosine")) && col("cosine") >= minCosine)
+      .select("vec_id")
+      .distinct()
+    assigned
+      .join(removed.withColumn("rm", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("rm").isNull.as("kept"))
+  }
+
   /** Lloyd k-means refinement of the coarse quantizer: assign every vector
     * to its nearest current centroid by cosine (broadcast matrix, one
     * narrow pass), recompute each centroid as its cluster's per-dimension

@@ -131,6 +131,57 @@ class OpsSpec extends SparkSpec {
     assert(refined >= base - 0.15, s"refinement degraded recall: $base -> $refined")
   }
 
+  test("SemDeDup equals the naive keep-lowest-id rule and removes planted near-dups") {
+    // real embeddings + planted near-identical twins of three originals
+    // (tiny perturbation keeps cosine ~0.9999, far above the threshold)
+    val base = embeddings.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val planted = Seq(5L, 17L, 40L).zipWithIndex.map { case (src, i) =>
+      val v = base.find(_._1 == src).get._2.toArray
+      v(0) = v(0) + 1e-4f
+      (100000L + i, v.toSeq)
+    }
+    val all = (base.toSeq ++ planted).toDF("vec_id", "embedding")
+    val tau = 0.9
+    val got = Similarity
+      .semDedup(all, minCosine = tau, nCentroids = 16)
+      .select("vec_id", "cid", "kept")
+      .as[(Long, Long, Boolean)]
+      .collect()
+      .map(r => r._1 -> (r._2, r._3))
+      .toMap
+    // naive: assign to nearest of the 16 lowest-id centroids (ties -> lowest
+    // cid), removed iff a lower-id same-cluster member has cosine >= tau
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecs = (base.toSeq ++ planted).sortBy(_._1)
+    val cents = vecs.take(16)
+    val assign = vecs.flatMap { case (id, v) =>
+      val scored = cents.map { case (cid, cv) => (cid, cos(v, cv)) }.filter(!_._2.isNaN)
+      if (scored.isEmpty) None else Some(id -> scored.maxBy(s => (s._2, -s._1))._1)
+    }.toMap
+    val want = vecs.collect {
+      case (id, v) if assign.contains(id) =>
+        val removed = vecs.exists { case (o, ov) =>
+          o < id && assign.get(o).contains(assign(id)) && cos(ov, v) >= tau
+        }
+        id -> (assign(id), !removed)
+    }.toMap
+    assert(got == want)
+    // every planted twin must be dropped, its (lower-id) original kept
+    Seq(5L, 17L, 40L).zipWithIndex.foreach { case (src, i) =>
+      assert(got(src)._2, s"original $src should be kept")
+      assert(!got(100000L + i)._2, s"planted twin of $src should be removed")
+    }
+  }
+
   test("blocked exact cosine paths equal the naive brute-force oracle") {
     // tiny blockSize forces many tile pairs (incl. diagonal + off-diagonal)
     val exactTopK = Similarity
