@@ -858,6 +858,12 @@ object SparkEntry {
       // construction (no LSH recall gamble against the equality gate).
       Similarity.nearDupPairsBlocked(t(s, dir, "embeddings"), 0.35).select("a", "b")),
 
+    // ---- repetition quality signals (Gopher, Rae et al. 2021 table A1) ----
+    // Per-doc duplicate-word/-trigram rates + most-repetitive-bigram char
+    // coverage: the standard repetition filters ahead of dedup in an LLM
+    // data pipeline. Pure map-side higher-order functions, no shuffle.
+    "q38_repetition" -> ((s, dir) => TextAnalysis.repetitionSignals(t(s, dir, "documents"))),
+
     // ---- semantic dedup (SemDeDup, arXiv:2303.09540) ----
     // Cluster embeddings with the deterministic coarse quantizer, drop
     // within-cluster semantic near-dups at the cosine threshold keeping the
@@ -1197,6 +1203,22 @@ object SparkEntry {
         |     * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * v)))) AS cosine
         |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
         |WHERE cosine >= 0.35""".stripMargin.replace("\n", " "),
+    // q38: same word regex as q17; n-grams via 1-based list indexing (both
+    // engines), fractions are single int/int divisions in double
+    "q38_repetition" ->
+      """WITH w AS (SELECT doc_id, length(text) AS n_chars,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |g AS (SELECT doc_id, n_chars, ws,
+        |    list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bg,
+        |    list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS tg
+        |  FROM w)
+        |SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_words,
+        |  CASE WHEN len(ws) > 0 THEN CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / len(ws) END AS dup_word_frac,
+        |  CASE WHEN len(tg) > 0 THEN CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg) END AS dup_trigram_frac,
+        |  CASE WHEN len(bg) > 0 THEN CAST(list_max(list_transform(list_distinct(bg),
+        |    x -> len(list_filter(bg, y -> y = x)) * length(x))) AS DOUBLE) / n_chars END AS top_bigram_char_frac
+        |FROM g""".stripMargin.replace("\n", " "),
     // q37: same deterministic quantizer CTEs as q36, then the SemDeDup keep
     // rule — removed iff a lower-vec_id same-cluster member is >= threshold
     "q37_semdedup" ->

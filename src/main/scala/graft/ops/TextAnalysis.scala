@@ -80,4 +80,56 @@ object TextAnalysis {
     // any sane reading of "fingerprint of the content") has no row there.
     df.filter(col(textCol).isNotNull)
       .select(col("doc_id"), graft.dedup.MinGramMd5(col(textCol), 3).as("fingerprint"))
+
+  /** Repetition signals in the style of Gopher's repetition filters (Rae et
+    * al. 2021, "Scaling Language Models", table A1): duplicate-word and
+    * duplicate-trigram rates plus the character fraction covered by the most
+    * repetitive word bigram. Pure per-row higher-order functions over the
+    * word array — no shuffle, no UDF, embarrassingly parallel at any scale.
+    *
+    * The bigram metric maximizes covered characters (occurrences × gram
+    * length) directly rather than picking "the most frequent gram" first, so
+    * count ties need no ordering rule and an ANSI oracle reproduces it
+    * exactly. Fractions are single int/int divisions in double — no
+    * accumulation-order hazard. Docs with too few words for an n-gram emit
+    * NULL for that metric (not 0: "no signal", not "no repetition").
+    */
+  def repetitionSignals(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val w = words(col(textCol))
+    def grams(wc: Column, n: Int): Column =
+      when(
+        size(wc) >= n,
+        transform(
+          sequence(lit(1), size(wc) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(o => element_at(wc, i + o)): _*)
+        )
+      ).otherwise(array().cast("array<string>"))
+    df.select(
+      col("doc_id"),
+      length(col(textCol)).as("n_chars"),
+      w.as("w"),
+      grams(w, 2).as("bg"),
+      grams(w, 3).as("tg")
+    ).select(
+      col("doc_id"),
+      size(col("w")).cast("long").as("n_words"),
+      when(
+        size(col("w")) > 0,
+        (size(col("w")) - size(array_distinct(col("w")))).cast("double") / size(col("w"))
+      ).as("dup_word_frac"),
+      when(
+        size(col("tg")) > 0,
+        (size(col("tg")) - size(array_distinct(col("tg")))).cast("double") / size(col("tg"))
+      ).as("dup_trigram_frac"),
+      when(
+        size(col("bg")) > 0,
+        array_max(
+          transform(
+            array_distinct(col("bg")),
+            g => size(filter(col("bg"), x => x === g)) * length(g)
+          )
+        ).cast("double") / col("n_chars")
+      ).as("top_bigram_char_frac")
+    )
+  }
 }

@@ -426,4 +426,31 @@ class OpsSpec extends SparkSpec {
     assert(f.count() == docs.count())
     assert(f.filter(length(col("fingerprint")) =!= 32).count() == 0)
   }
+
+  test("repetition signals match closed-form values on hand-built docs") {
+    val rows = Seq(
+      // "a b a b a": words 5, distinct 2 -> dup_word 3/5; trigrams
+      // [a b a, b a b, a b a] distinct 2 -> dup_tri 1/3; bigrams
+      // [a b, b a, a b, b a] -> best covers 2 occ * 3 chars = 6 of 9 chars
+      (1L, "a b a b a", 3.0 / 5, 1.0 / 3, 6.0 / 9),
+      // all distinct words, one trigram (dup 0/1): top bigram covers one
+      // occurrence of the longest bigram ("bb ccc" = 6 of 8 chars)
+      (2L, "a bb ccc", 0.0, 0.0, 6.0 / 8),
+      // single word: no bigrams/trigrams -> NULLs
+      (3L, "hello", 0.0, Double.NaN, Double.NaN)
+    )
+    val got = TextAnalysis
+      .repetitionSignals(rows.map(r => (r._1, r._2)).toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) -> r)
+      .toMap
+    rows.foreach { case (id, text, dw, dt, tb) =>
+      val r = got(id)
+      assert(r.getDouble(2) == dw, s"doc $id dup_word_frac over '$text'")
+      if (dt.isNaN) assert(r.isNullAt(3), s"doc $id dup_trigram_frac should be NULL")
+      else assert(r.getDouble(3) == dt, s"doc $id dup_trigram_frac over '$text'")
+      if (tb.isNaN) assert(r.isNullAt(4), s"doc $id top_bigram_char_frac should be NULL")
+      else assert(r.getDouble(4) == tb, s"doc $id top_bigram_char_frac over '$text'")
+    }
+  }
 }
