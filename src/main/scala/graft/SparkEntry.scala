@@ -864,6 +864,43 @@ object SparkEntry {
     // data pipeline. Pure map-side higher-order functions, no shuffle.
     "q38_repetition" -> ((s, dir) => TextAnalysis.repetitionSignals(t(s, dir, "documents"))),
 
+    // ---- benchmark decontamination (GPT-3 appendix-C 13-gram scrub) ----
+    // Docs with doc_id % 97 == 0 stand in for the eval set; every other doc
+    // is flagged if it shares any distinct word 13-gram with them. The
+    // synthetic corpus has no natural 13-gram overlap at small SF, so a
+    // fixed 13-word phrase is PLANTED into every benchmark doc and into
+    // train docs with doc_id % 50 == 1 — exactly those must be flagged.
+    "q40_decontaminate" -> ((s, dir) => {
+      val phrase = (0 until 13).map(i => s"xq$i").mkString(" ", " ", "")
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 97 === 0 || col("doc_id") % 50 === 1, concat(col("text"), lit(phrase)))
+          .otherwise(col("text")).as("text")
+      )
+      graft.ops.Decontaminate.contaminated(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        n = 13
+      )
+    }),
+
+    // ---- PII/secret redaction (The-Stack-style pre-training scrub) ----
+    // The synthetic corpus carries no PII, so the query PLANTS a
+    // deterministic email/IP/hex-secret per doc (both engines build the
+    // same string) and the operator must find and redact exactly those.
+    "q39_redact" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com from 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".7 token "),
+          md5(col("doc_id").cast("string")), lit(" end")
+        ).as("text")
+      )
+      TextAnalysis.redact(d)
+    }),
+
     // ---- semantic dedup (SemDeDup, arXiv:2303.09540) ----
     // Cluster embeddings with the deterministic coarse quantizer, drop
     // within-cluster semantic near-dups at the cosine threshold keeping the
@@ -1203,6 +1240,39 @@ object SparkEntry {
         |     * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * v)))) AS cosine
         |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
         |WHERE cosine >= 0.35""".stripMargin.replace("\n", " "),
+    // q40: same word regex + 1-based 13-gram construction; per-doc grams
+    // deduped (list_distinct) before the join exactly like the Spark side
+    "q40_decontaminate" -> {
+      val gram13 = (0 until 13).map(o => s"ws[i+$o]").mkString(" || ' ' || ")
+      val phrase = (0 until 13).map(i => s"xq$i").mkString(" ", " ", "")
+      s"""WITH d AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 97 = 0 OR doc_id % 50 = 1 THEN text || '$phrase' ELSE text END AS text
+         |  FROM documents),
+         |w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM d),
+         |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 11), i -> $gram13)) AS gs FROM w),
+         |bg AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 97 = 0),
+         |tg AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 97 <> 0),
+         |hits AS (SELECT doc_id, count(*) AS n_hits FROM tg JOIN bg USING (gram) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits, coalesce(h.n_hits, 0) > 0 AS contaminated
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+         |LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin.replace("\n", " ")
+    },
+    // q39: identical planted-PII construction, regexes in the Java/RE2
+    // common subset; single-quoted SQL literals pass backslashes raw
+    "q39_redact" ->
+      """WITH d AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.'
+        |    || CAST(doc_id % 256 AS VARCHAR) || '.7 token ' || md5(CAST(doc_id AS VARCHAR)) || ' end' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '\b[0-9a-f]{32,}\b')) AS BIGINT) AS n_secrets,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b[0-9a-f]{32,}\b', '<SECRET>', 'g') AS redacted
+        |FROM d""".stripMargin.replace("\n", " "),
     // q38: same word regex as q17; n-grams via 1-based list indexing (both
     // engines), fractions are single int/int divisions in double
     "q38_repetition" ->

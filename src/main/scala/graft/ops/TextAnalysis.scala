@@ -81,6 +81,38 @@ object TextAnalysis {
     df.filter(col(textCol).isNotNull)
       .select(col("doc_id"), graft.dedup.MinGramMd5(col(textCol), 3).as("fingerprint"))
 
+  /** PII / secret redaction patterns shared by [[redact]] and the SQL
+    * oracle: kept inside the Java-regex / RE2 common subset (ASCII classes,
+    * bounded quantifiers, \b word boundaries) so both engines match the
+    * same spans. Redaction order matters and is part of the contract:
+    * emails first (their local part can contain hex runs), then IPs, then
+    * long hex secrets. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val HexSecretRe = "\\b[0-9a-f]{32,}\\b"
+
+  /** PII / secret scrubbing: redact emails, IPv4 addresses and long hex
+    * secrets (the BigCode/The-Stack-style pre-training scrub for code
+    * corpora), emitting per-type counts alongside the cleaned text. Pure
+    * per-row regex built-ins — no shuffle, codegen'd, and safe to run as
+    * the first map stage over a 100 TB scan. */
+  def redact(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(
+      col("doc_id"),
+      size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(col(textCol), lit(HexSecretRe), lit(0))).cast("long").as("n_secrets"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), lit(EmailRe), lit("<EMAIL>")),
+          lit(Ipv4Re),
+          lit("<IP>")
+        ),
+        lit(HexSecretRe),
+        lit("<SECRET>")
+      ).as("redacted")
+    )
+
   /** Repetition signals in the style of Gopher's repetition filters (Rae et
     * al. 2021, "Scaling Language Models", table A1): duplicate-word and
     * duplicate-trigram rates plus the character fraction covered by the most
@@ -94,16 +126,21 @@ object TextAnalysis {
     * accumulation-order hazard. Docs with too few words for an n-gram emit
     * NULL for that metric (not 0: "no signal", not "no repetition").
     */
+  /** Space-joined word n-grams of a word-array column (empty when the doc
+    * has fewer than `n` words — NOT a padded fallback). 1-based positions,
+    * matching SQL list indexing so oracles reproduce the gram strings. */
+  def gramsOf(wc: Column, n: Int): Column =
+    when(
+      size(wc) >= n,
+      transform(
+        sequence(lit(1), size(wc) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(wc, i + o)): _*)
+      )
+    ).otherwise(array().cast("array<string>"))
+
   def repetitionSignals(df: DataFrame, textCol: String = "text"): DataFrame = {
     val w = words(col(textCol))
-    def grams(wc: Column, n: Int): Column =
-      when(
-        size(wc) >= n,
-        transform(
-          sequence(lit(1), size(wc) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(o => element_at(wc, i + o)): _*)
-        )
-      ).otherwise(array().cast("array<string>"))
+    def grams(wc: Column, n: Int): Column = gramsOf(wc, n)
     df.select(
       col("doc_id"),
       length(col(textCol)).as("n_chars"),

@@ -427,6 +427,41 @@ class OpsSpec extends SparkSpec {
     assert(f.filter(length(col("fingerprint")) =!= 32).count() == 0)
   }
 
+  test("redaction scrubs planted emails, IPs and hex secrets and counts each") {
+    val secret = "0123456789abcdef0123456789abcdef"
+    val rows = Seq(
+      (1L, s"mail bob.smith+x@corp.example.org or 192.168.0.1 key $secret done"),
+      (2L, "clean text with no pii at all"),
+      (3L, "two mails a@b.io c@d.co one ip 10.0.0.1")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .redact(rows)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(got(1L) == ((1L, 1L, 1L, "mail <EMAIL> or <IP> key <SECRET> done")))
+    assert(got(2L) == ((0L, 0L, 0L, "clean text with no pii at all")))
+    assert(got(3L) == ((2L, 1L, 0L, "two mails <EMAIL> <EMAIL> one ip <IP>")))
+  }
+
+  test("decontamination flags exactly the docs sharing a word 13-gram with the benchmark") {
+    val phrase = (0 until 13).map(i => s"w$i").mkString(" ")
+    val benchmark = Seq((100L, s"eval question here $phrase end")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"prefix $phrase suffix"), // shares the planted gram
+      (2L, phrase.split(" ").dropRight(1).mkString(" ")), // only 12 words
+      (3L, "completely unrelated words that overlap nothing at all")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Decontaminate
+      .contaminated(train, benchmark, n = 13)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(got(1L) == ((1L, true)))
+    assert(got(2L) == ((0L, false)))
+    assert(got(3L) == ((0L, false)))
+  }
+
   test("repetition signals match closed-form values on hand-built docs") {
     val rows = Seq(
       // "a b a b a": words 5, distinct 2 -> dup_word 3/5; trigrams
