@@ -864,6 +864,11 @@ object SparkEntry {
     // data pipeline. Pure map-side higher-order functions, no shuffle.
     "q38_repetition" -> ((s, dir) => TextAnalysis.repetitionSignals(t(s, dir, "documents"))),
 
+    // ---- composed quality gate (C4/FineWeb-style filter step) ----
+    // One map-side projection evaluating all keep/drop rules; thresholds
+    // picked to split the synthetic corpus non-trivially.
+    "q41_quality_filter" -> ((s, dir) => TextAnalysis.qualityFilter(t(s, dir, "documents"))),
+
     // ---- benchmark decontamination (GPT-3 appendix-C 13-gram scrub) ----
     // Docs with doc_id % 97 == 0 stand in for the eval set; every other doc
     // is flagged if it shares any distinct word 13-gram with them. The
@@ -1240,6 +1245,29 @@ object SparkEntry {
         |     * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * v)))) AS cosine
         |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
         |WHERE cosine >= 0.35""".stripMargin.replace("\n", " "),
+    // q41: q17's stopword IN-list inside a list_filter lambda + q38's gram
+    // metrics, conjoined with SQL three-valued AND (false AND NULL = false
+    // covers the short-doc NULL metrics in both engines)
+    "q41_quality_filter" ->
+      s"""WITH w AS (SELECT doc_id, length(text) AS n_chars,
+         |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+         |g AS (SELECT doc_id, n_chars, ws,
+         |    list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bg FROM w),
+         |s AS (SELECT doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_words,
+         |  CASE WHEN len(ws) > 0
+         |    THEN CAST(len(list_filter(ws, x -> x IN ($stopListSql))) AS DOUBLE) / len(ws)
+         |    ELSE 0.0 END AS stopword_ratio,
+         |  CASE WHEN len(ws) > 0
+         |    THEN CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / len(ws) END AS dup_word_frac,
+         |  CASE WHEN len(bg) > 0 THEN CAST(list_max(list_transform(list_distinct(bg),
+         |    x -> len(list_filter(bg, y -> y = x)) * length(x))) AS DOUBLE) / n_chars
+         |    END AS top_bigram_char_frac
+         |  FROM g)
+         |SELECT doc_id, n_words, stopword_ratio, dup_word_frac, top_bigram_char_frac,
+         |  (n_words >= 20 AND stopword_ratio >= 0.05 AND dup_word_frac <= 0.6
+         |   AND top_bigram_char_frac <= 0.2) AS keep
+         |FROM s""".stripMargin.replace("\n", " "),
     // q40: same word regex + 1-based 13-gram construction; per-doc grams
     // deduped (list_distinct) before the join exactly like the Spark side
     "q40_decontaminate" -> {

@@ -81,6 +81,59 @@ object TextAnalysis {
     df.filter(col(textCol).isNotNull)
       .select(col("doc_id"), graft.dedup.MinGramMd5(col(textCol), 3).as("fingerprint"))
 
+  /** Composed keep/drop document gate (the C4/FineWeb-style filter step):
+    * length, stopword-density, duplicate-word and bigram-repetition rules
+    * evaluated in ONE map-side projection. Deliberately NOT a join of
+    * [[qualityScore]] and [[repetitionSignals]] outputs — at 100 TB the
+    * gate is a scan-stage predicate over each row, and joining two derived
+    * tables of the same corpus would add two extra scans plus a shuffle
+    * for what is per-row arithmetic.
+    *
+    * Rule nulls need no special casing: dup/top-bigram metrics are NULL
+    * only below the word minimums, where the n_words conjunct is already
+    * false, and SQL three-valued AND collapses (false AND NULL) to false
+    * identically in both engines.
+    */
+  def qualityFilter(
+      df: DataFrame,
+      textCol: String = "text",
+      minWords: Int = 20,
+      minStopwordRatio: Double = 0.05,
+      maxDupWordFrac: Double = 0.6,
+      maxTopBigramCharFrac: Double = 0.2
+  ): DataFrame = {
+    val w = words(col(textCol))
+    df.select(
+      col("doc_id"),
+      length(col(textCol)).as("n_chars"),
+      w.as("w"),
+      gramsOf(w, 2).as("bg")
+    ).select(
+      col("doc_id"),
+      size(col("w")).cast("long").as("n_words"),
+      when(
+        size(col("w")) > 0,
+        size(filter(col("w"), x => array_contains(stopwordsArray, x))).cast("double") / size(col("w"))
+      ).otherwise(lit(0.0)).as("stopword_ratio"),
+      when(
+        size(col("w")) > 0,
+        (size(col("w")) - size(array_distinct(col("w")))).cast("double") / size(col("w"))
+      ).as("dup_word_frac"),
+      when(
+        size(col("bg")) > 0,
+        array_max(
+          transform(array_distinct(col("bg")), g => size(filter(col("bg"), x => x === g)) * length(g))
+        ).cast("double") / col("n_chars")
+      ).as("top_bigram_char_frac")
+    ).withColumn(
+      "keep",
+      col("n_words") >= minWords &&
+        col("stopword_ratio") >= minStopwordRatio &&
+        col("dup_word_frac") <= maxDupWordFrac &&
+        col("top_bigram_char_frac") <= maxTopBigramCharFrac
+    )
+  }
+
   /** PII / secret redaction patterns shared by [[redact]] and the SQL
     * oracle: kept inside the Java-regex / RE2 common subset (ASCII classes,
     * bounded quantifiers, \b word boundaries) so both engines match the

@@ -427,6 +427,24 @@ class OpsSpec extends SparkSpec {
     assert(f.filter(length(col("fingerprint")) =!= 32).count() == 0)
   }
 
+  test("quality filter keeps exactly the docs passing every rule") {
+    val stop = "the and of to in" // common stopwords guaranteed in the list
+    val goodText = (s"$stop " * 2) + (1 to 20).map(i => s"unique$i").mkString(" ")
+    val rows = Seq(
+      (1L, goodText), // 30 words, 1/3 stopwords, low repetition -> keep
+      (2L, "short doc"), // below the word minimum
+      (3L, (1 to 30).map(_ => "dup").mkString(" ")), // dup_word_frac ~1
+      (4L, (1 to 30).map(i => s"w$i").mkString(" ")) // zero stopwords
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .qualityFilter(rows)
+      .select("doc_id", "keep")
+      .as[(Long, Boolean)]
+      .collect()
+      .toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+  }
+
   test("redaction scrubs planted emails, IPs and hex secrets and counts each") {
     val secret = "0123456789abcdef0123456789abcdef"
     val rows = Seq(
