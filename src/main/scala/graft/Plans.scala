@@ -76,6 +76,18 @@ object Plans {
             .selectExpr("doc_id", "lang as group", "text as content"),
           graft.dedup.SuffixDedup.SubConfig(k = 16, window = 5, minMatch = 20),
           graft.dedup.CacheRegistry.unmanaged),
+      "q37_semdedup (SemDeDup: coarse-quantizer assign + within-cluster cosine self-join)" ->
+        SparkEntry.queries("q37_semdedup")(spark, sf),
+      "q40_decontaminate (13-gram eval-overlap: deduped gram explode + semi-join-shaped probe)" ->
+        SparkEntry.queries("q40_decontaminate")(spark, sf),
+      "q41_quality_filter (composed gate: one map-side projection, no shuffle)" ->
+        SparkEntry.queries("q41_quality_filter")(spark, sf),
+      // q25b's union-find runs EAGERLY at construction (driver-local at this
+      // edge count); the dumped plan is the distributed remainder — the
+      // broadcast relabel of the existing assignment + singleton fill-in,
+      // which is the part that scans the corpus-sized table
+      "q25b incremental components (delta CC + relabel join of the existing assignment)" ->
+        SparkEntry.queries("q25b_components_incremental")(spark, sf),
       // the streaming ingest plan, dumped through its batch-parity shape
       // (identical operators; a started streaming query can't be explained
       // here): broadcast-dict encode -> band explode -> index equi-join ->
