@@ -170,6 +170,50 @@ object Bench {
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
+  /** Host-health control, Spark-free: (sha256 MB/s at 1 thread, sha256 MB/s
+    * aggregate at 8 threads, streaming-sum GB/s aggregate at 8 threads).
+    * Run before and after the scaling legs and PRINTED INTO THE ARTIFACT:
+    * this sandbox is a shared VM whose per-core speed and DRAM bandwidth
+    * vary by hours (measured 1.7-2x same-code leg swings and one window
+    * where local[8] ran SLOWER than local[2]). The control separates "the
+    * engine stopped scaling" from "the host stopped scaling" — a degraded
+    * control invalidates the window, not the plan. */
+  private def hostControl(): (Double, Double, Double) = {
+    def shaLeg(threads: Int): Double = {
+      val perThreadMb = 256
+      val buf = new Array[Byte](1 << 20)
+      val t0 = System.nanoTime()
+      val ts = (1 to threads).map { _ =>
+        val t = new Thread(() => {
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          var i = 0
+          while (i < perThreadMb) { md.update(buf); i += 1 }
+          md.digest()
+        })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      threads * perThreadMb / ((System.nanoTime() - t0) / 1e9)
+    }
+    def memLeg(threads: Int): Double = {
+      val words = 32 << 20 // 256 MB per thread
+      val arrays = (1 to threads).map(_ => new Array[Long](words))
+      val sink = new java.util.concurrent.atomic.AtomicLong()
+      val t0 = System.nanoTime()
+      val ts = arrays.map { a =>
+        val t = new Thread(() => {
+          var pass = 0; var s = 0L
+          while (pass < 3) { var i = 0; while (i < words) { s += a(i); i += 1 }; pass += 1 }
+          sink.addAndGet(s)
+        })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      threads * 3.0 * words * 8 / 1e9 / ((System.nanoTime() - t0) / 1e9)
+    }
+    (shaLeg(1), shaLeg(8), memLeg(8))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -240,6 +284,7 @@ object Bench {
     // ~16 threads the scan/hash/shuffle phases are DRAM-bandwidth-bound and
     // the ratio measures the machine, not the engine.
     val warmFiles = math.min(nFiles, 100000L)
+    val ctlBefore = hostControl()
     pipelineRun(2, warmFiles) // warmup both levels: JIT, classloading, page cache
     pipelineRun(8, warmFiles)
     val legs = ArrayBuffer.empty[(Int, Double)] // (cpus, secs) in run order
@@ -264,7 +309,17 @@ object Bench {
     val med8 = median(legs.filter(_._1 == 8).map(_._2).toSeq)
     val thr2 = nFiles / med2
     val thr8 = nFiles / med8
-    val efficiency = (med2 / med8) / 4.0
+    // Headline estimator: median of PER-PAIR ratios. Each interleaved
+    // (local[2], local[8]) pair runs back-to-back, so slow-host noise that
+    // is roughly constant within a pair cancels in its ratio; the median
+    // then rejects one bad pair out of three. The pooled-medians estimator
+    // is reported alongside — on a quiet host they agree.
+    val pairRatios = legs.toSeq
+      .grouped(2)
+      .collect { case Seq((2, s2), (8, s8)) => s2 / s8 }
+      .toSeq
+    val efficiency = median(pairRatios) / 4.0
+    val efficiencyPooled = (med2 / med8) / 4.0
 
     // Scale-path evidence leg: force the shuffle-join encode (the plan that
     // carries vocabularies beyond any broadcast cap) on the SAME corpus and
@@ -280,6 +335,7 @@ object Bench {
     val sJoin = median(joinLegs.map(_._1))
     val mJoin = joinLegs.flatMap(_._3).lastOption
     val thrJoin = nFiles / sJoin
+    val ctlAfter = hostControl()
     val encodeMatch = (metrics8, mJoin) match {
       case (Some(a), Some(b)) => a.pairsRows == b.pairsRows && a.pairsChecksum == b.pairsChecksum
       case _ => false
@@ -299,7 +355,7 @@ object Bench {
         100.0 * m.chainDroppedPairs / (m.candidateRows + m.chainDroppedPairs)
       else 0.0
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"query_reps":$qreps,"queries_spread":$qSpreadJson,"failed":$failedJson,"sf":"$sfDir","pipeline_files":$nFiles,"legs":$legsJson,"files_per_sec_2":$thr2%.1f,"files_per_sec_8":$thr8%.1f,"scaling_efficiency":$efficiency%.3f,"files_per_sec_8_shuffle_encode":$thrJoin%.1f,"encode_paths_pairs_match":$encodeMatch,"oversized_buckets":${m.oversizedBuckets},"chain_dropped_raw_pairs":${m.chainDroppedPairs},"chain_dropped_pct_of_raw":$dropPct%.3f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"query_reps":$qreps,"queries_spread":$qSpreadJson,"failed":$failedJson,"sf":"$sfDir","pipeline_files":$nFiles,"legs":$legsJson,"files_per_sec_2":$thr2%.1f,"files_per_sec_8":$thr8%.1f,"scaling_efficiency":$efficiency%.3f,"scaling_efficiency_pooled":$efficiencyPooled%.3f,"host_control_before":[${ctlBefore._1}%.0f,${ctlBefore._2}%.0f,${ctlBefore._3}%.1f],"host_control_after":[${ctlAfter._1}%.0f,${ctlAfter._2}%.0f,${ctlAfter._3}%.1f],"files_per_sec_8_shuffle_encode":$thrJoin%.1f,"encode_paths_pairs_match":$encodeMatch,"oversized_buckets":${m.oversizedBuckets},"chain_dropped_raw_pairs":${m.chainDroppedPairs},"chain_dropped_pct_of_raw":$dropPct%.3f}"""
     )
 
     val stageNames = (stages2.keySet ++ stages8.keySet).toSeq
@@ -330,7 +386,10 @@ object Bench {
          #| pipeline corpus size (files) | $nFiles |
          #| pipeline throughput @ local[2] (files/sec, median of ${legs.count(_._1 == 2)}) | $thr2%.1f |
          #| pipeline throughput @ local[8] (files/sec, median of ${legs.count(_._1 == 8)}) | $thr8%.1f |
-         #| scaling efficiency N=2 -> 4N=8 (median-based) | $efficiency%.3f |
+         #| scaling efficiency N=2 -> 4N=8 (median of per-pair ratios) | $efficiency%.3f |
+         #| scaling efficiency N=2 -> 4N=8 (pooled leg medians) | $efficiencyPooled%.3f |
+         #| host control BEFORE legs: sha256 MB/s @1t / @8t, mem-sum GB/s @8t | ${ctlBefore._1}%.0f / ${ctlBefore._2}%.0f / ${ctlBefore._3}%.1f |
+         #| host control AFTER legs: sha256 MB/s @1t / @8t, mem-sum GB/s @8t | ${ctlAfter._1}%.0f / ${ctlAfter._2}%.0f / ${ctlAfter._3}%.1f |
          #| shuffle-join encode leg @ local[8] (files/sec, broadcast cap forced to 100k, median of ${joinLegs.size}) | $thrJoin%.1f |
          #| shuffle-join encode pairs bitwise-equal to broadcast path | $encodeMatch |
          #
@@ -354,9 +413,17 @@ object Bench {
          #phases and the ratio measures the host, not the engine.
          #
          #Methodology: one untimed warmup leg per level, then exactly $rounds
-         #interleaved leg pairs fixed up front; efficiency uses MEDIAN leg
-         #times (no best-of, no metric-gated retries). Work dirs live on tmpfs
-         #and are deleted between legs. All raw legs, in run order:
+         #interleaved leg pairs fixed up front (no best-of, no metric-gated
+         #retries); the headline efficiency is the MEDIAN of per-pair
+         #t2/t8 ratios (back-to-back pairs cancel slow-host noise that is
+         #constant within a pair; the median rejects one bad pair), with the
+         #pooled-medians estimator reported alongside. The Spark-free host
+         #controls above bracket the legs: this sandbox VM's per-core speed
+         #and DRAM bandwidth swing 1.7-2x across hours (one measured window
+         #ran local[8] SLOWER than local[2] on identical code) — when a run's
+         #control numbers are far below a prior run's, the WINDOW is
+         #degraded, not the engine. Work dirs live on tmpfs and are deleted
+         #between legs. All raw legs, in run order:
          #
          #| leg | level | seconds |
          #|---|---|---|
