@@ -795,14 +795,17 @@ object SparkEntry {
     }),
 
     // ---- multimodal: REAL image (javax.imageio) + REAL audio
-    // (javax.sound.sampled) decode, stub video ----
+    // (javax.sound.sampled) + REAL video (hand-written YUV4MPEG2 parser)
+    // decode ----
     // Image rows are synthesized as real PNGs with closed-form pixel
-    // gradients, audio rows as real WAVs with closed-form PCM samples; both
-    // are decoded back by extractFeatures with actual raster/container
-    // reads — so every emitted pixel/sample statistic is real decode output
-    // AND SQL-reproducible (the WAV byte size is the canonical 44-byte
-    // header + 2 bytes/sample, also closed-form). n_bytes is nulled for
-    // images only: a PNG's DEFLATE size has no ANSI-SQL form.
+    // gradients, audio rows as real WAVs with closed-form PCM samples,
+    // video rows as real y4m streams with closed-form luma planes; all
+    // three are decoded back by extractFeatures with actual raster /
+    // container / plane reads — so every emitted statistic is real decode
+    // output AND SQL-reproducible (WAV size = canonical 44-byte header +
+    // 2 bytes/sample; y4m size = 41-byte header + nf*(6 + 3wh/2); both
+    // closed-form). n_bytes is nulled for images only: a PNG's DEFLATE
+    // size has no ANSI-SQL form.
     "q26_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.synthesize(t(s, dir, "documents"))
       Multimodal
@@ -820,9 +823,14 @@ object SparkEntry {
           col("sample_rate").cast("long").as("sample_rate"),
           col("n_samples"),
           col("sum_amp"),
+          col("fps").cast("long").as("fps"),
+          col("n_frames"),
+          col("sum_luma"),
           size(col("embedding")).cast("long").as("dim")
         )
     }),
+    // Real decoded frame sampling: stride = 80 ms x the fps parsed from the
+    // y4m header (25) = every 2nd frame, each with its exact luma-plane sum.
     "q27_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.synthesize(t(s, dir, "documents")))),
     // The winnowing CANDIDATE stage of the substring detector, split out
@@ -1009,10 +1017,17 @@ object SparkEntry {
          |SELECT c.lang, c.a, c.b FROM wcand c
          |WHERE EXISTS (SELECT 1 FROM grams ga JOIN grams gb ON ga.g = gb.g
          |  WHERE ga.doc_id = c.a AND gb.doc_id = c.b)""".stripMargin.replace("\n", " "),
+    // q27: the engine emits every 2nd decoded frame (80 ms at the parsed 25
+    // fps) with its exact luma sum; nf = 2 + id%4 so kept frames are 0, 2, 4.
     "q27_frame_sample" ->
-      """SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx
-        | FROM documents, UNNEST(generate_series(0, CAST(n_chars AS BIGINT) * 10 // 1000)) AS t(f)
-        | WHERE doc_id % 3 = 2""".stripMargin.replace("\n", " "),
+      """WITH v AS (SELECT doc_id, (doc_id * 17) % 256 AS y0,
+        |  (16 + 2 * (doc_id % 9)) * (16 + 2 * (doc_id % 7)) AS wh,
+        |  2 + doc_id % 4 AS nf FROM documents WHERE doc_id % 3 = 2)
+        |SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+        | CAST(list_sum(list_transform(generate_series(0, wh - 1),
+        |   p -> (y0 + f * 31 + p) % 256)) AS BIGINT) AS sum_luma
+        |FROM v, UNNEST(generate_series(0, nf - 1)) AS t(f)
+        |WHERE f % 2 = 0""".stripMargin.replace("\n", " "),
     "q15_dedup_exact" ->
       """SELECT d.doc_id, m.canon FROM documents d JOIN
         | (SELECT text, min(doc_id) AS canon FROM documents GROUP BY text) m
@@ -1219,15 +1234,17 @@ object SparkEntry {
     "q26_multimodal_features" ->
       """WITH m AS (SELECT doc_id, doc_id % 3 AS md, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h,
         | (doc_id * 7) % 256 AS r0, (doc_id * 11) % 256 AS g0, (doc_id * 13) % 256 AS b0,
-        | 256 + doc_id % 256 AS ns, text
+        | 256 + doc_id % 256 AS ns,
+        | 16 + 2 * (doc_id % 9) AS vw, 16 + 2 * (doc_id % 7) AS vh,
+        | 2 + doc_id % 4 AS nf, (doc_id * 17) % 256 AS y0
         | FROM documents)
         |SELECT doc_id AS media_id,
         | CASE WHEN md = 0 THEN 'image' WHEN md = 1 THEN 'audio' ELSE 'video' END AS modality,
         | CASE WHEN md = 0 THEN NULL
         |  WHEN md = 1 THEN CAST(44 + 2 * ns AS BIGINT)
-        |  ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS n_bytes,
-        | CASE WHEN md = 0 THEN w END AS width,
-        | CASE WHEN md = 0 THEN h END AS height,
+        |  ELSE CAST(41 + nf * (6 + 3 * vw * vh // 2) AS BIGINT) END AS n_bytes,
+        | CASE WHEN md = 0 THEN w WHEN md = 2 THEN vw END AS width,
+        | CASE WHEN md = 0 THEN h WHEN md = 2 THEN vh END AS height,
         | CASE WHEN md = 0 THEN h * list_sum(list_transform(generate_series(0, w - 1), x -> (r0 + x) % 256)) END AS sum_r,
         | CASE WHEN md = 0 THEN h * list_sum(list_transform(generate_series(0, w - 1), x -> (g0 + x) % 256)) END AS sum_g,
         | CASE WHEN md = 0 THEN h * list_sum(list_transform(generate_series(0, w - 1), x -> (b0 + x) % 256)) END AS sum_b,
@@ -1235,6 +1252,10 @@ object SparkEntry {
         | CASE WHEN md = 1 THEN CAST(ns AS BIGINT) END AS n_samples,
         | CASE WHEN md = 1 THEN CAST(list_sum(list_transform(generate_series(0, ns - 1),
         |   i -> (doc_id * 7919 + i * 2663) % 65536 - 32768)) AS BIGINT) END AS sum_amp,
+        | CASE WHEN md = 2 THEN CAST(25 AS BIGINT) END AS fps,
+        | CASE WHEN md = 2 THEN CAST(nf AS BIGINT) END AS n_frames,
+        | CASE WHEN md = 2 THEN CAST(list_sum(list_transform(generate_series(0, nf * vw * vh - 1),
+        |   q -> (y0 + (q // (vw * vh)) * 31 + q % (vw * vh)) % 256)) AS BIGINT) END AS sum_luma,
         | CAST(64 AS BIGINT) AS dim
         |FROM m""".stripMargin.replace("\n", " "),
     "q33_embedding_neardup" ->

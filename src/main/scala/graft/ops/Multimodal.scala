@@ -1,6 +1,7 @@
 package graft.ops
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
@@ -10,15 +11,19 @@ import org.apache.spark.sql.types._
   * payloads ride as opaque `binary` columns with typed metadata; decode /
   * feature-extract / frame-sample run as batched per-partition transforms.
   *
-  * The IMAGE modality is decoded for REAL: the JDK's `javax.imageio` reads
-  * PNG/JPEG/BMP with zero external jars, so image rows carry actual pixel
-  * statistics (width/height, per-channel sums, an 8x8 block-mean feature
-  * vector). The AUDIO modality is ALSO real: `javax.sound.sampled` parses
-  * WAV/PCM in the bare JDK, so audio rows carry the decoded sample rate,
-  * frame count, exact amplitude sum and a block-mean waveform feature. Only
-  * VIDEO (no codec in the runtime image) remains an honestly-labeled
-  * deterministic stub ([[decodeStub]]); the schema, mapPartitions batch
-  * shape and partitioning are real for all modalities.
+  * ALL THREE modalities decode for REAL with zero external jars:
+  *  - IMAGE via the JDK's `javax.imageio` (PNG/JPEG/BMP): width/height,
+  *    per-channel pixel sums, a block-mean grayscale feature vector.
+  *  - AUDIO via `javax.sound.sampled` (WAV/PCM): decoded sample rate, frame
+  *    count, exact amplitude sum, a block-mean waveform feature.
+  *  - VIDEO via a hand-written YUV4MPEG2 (`.y4m`) container parser
+  *    ([[parseY4m]]): y4m is the uncompressed raw-frame interchange format
+  *    (plain-text header + `FRAME\n`-delimited planar YUV), so a full parse
+  *    needs no codec — real width/height/fps from the stream header, real
+  *    frame count, exact per-frame luma sums, a block-mean feature over the
+  *    temporally-averaged luma plane. Compressed codecs (H.264 etc.) would
+  *    slot in behind the same signature; undecodable payloads fall back to
+  *    the labeled [[decodeStub]].
   */
 object Multimodal {
 
@@ -34,9 +39,10 @@ object Multimodal {
     )), nullable = true)
   ))
 
-  /** STUB — deterministic fake decode for the one modality whose codecs the
-    * runtime image lacks (video). A real deployment replaces this body
-    * with the codec call; signature and batch shape stay identical. */
+  /** STUB — deterministic fallback embedding for UNDECODABLE payloads (a
+    * video container this parser does not speak, truncated bytes, an
+    * unsupported audio encoding). A real deployment swaps this body for the
+    * codec call; signature and batch shape stay identical. */
   private def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
     var h = 0x9e3779b97f4a7c15L
     if (bytes != null) {
@@ -152,6 +158,104 @@ object Multimodal {
     } finally ais.close()
   }
 
+  /** Decoded YUV4MPEG2 stream: real header fields, exact per-frame luma
+    * sums, and a block-mean feature over the frame-averaged luma plane. */
+  private[ops] final case class Y4m(
+      width: Int,
+      height: Int,
+      fps: Int,
+      frameLumaSums: Array[Long],
+      feature: Array[Float]
+  ) {
+    def nFrames: Int = frameLumaSums.length
+    def sumLuma: Long = { var s = 0L; var i = 0; while (i < frameLumaSums.length) { s += frameLumaSums(i); i += 1 }; s }
+  }
+
+  /** Real video decode: parses the YUV4MPEG2 container (spec: plain-text
+    * `YUV4MPEG2 W.. H.. F..:.. .. \n` stream header, then per frame a
+    * `FRAME[ params]\n` marker followed by the planar YUV payload). Supports
+    * the 4:2:0 chroma family (`C420*`, the format default when no C tag is
+    * present) and 4:4:4; anything else — or any malformed byte — returns
+    * None and the caller falls back to the stub like other undecodable
+    * payloads. Every output is read from the byte stream: dimensions and
+    * fps from the header, frame count by walking FRAME markers, luma sums
+    * from the Y planes, and a `dim`-float block-mean feature over the
+    * temporally-averaged luma (same grid as [[decodeImage]]). */
+  private[ops] def parseY4m(bytes: Array[Byte], dim: Int): Option[Y4m] = {
+    val magic = "YUV4MPEG2 ".getBytes(StandardCharsets.US_ASCII)
+    if (bytes == null || bytes.length < magic.length) return None
+    var i = 0
+    while (i < magic.length) { if (bytes(i) != magic(i)) return None; i += 1 }
+    var eol = i
+    while (eol < bytes.length && bytes(eol) != '\n') eol += 1
+    if (eol >= bytes.length) return None
+    val header = new String(bytes, i, eol - i, StandardCharsets.US_ASCII)
+    var w = -1; var h = -1; var fps = -1; var chroma = "420jpeg"
+    header.split(' ').foreach { tok =>
+      if (tok.nonEmpty) tok.charAt(0) match {
+        case 'W' => w = tok.drop(1).toIntOption.getOrElse(-1)
+        case 'H' => h = tok.drop(1).toIntOption.getOrElse(-1)
+        case 'F' =>
+          val nd = tok.drop(1).split(':')
+          if (nd.length == 2)
+            fps = (for (n <- nd(0).toIntOption; d <- nd(1).toIntOption if d > 0) yield n / d).getOrElse(-1)
+        case 'C' => chroma = tok.drop(1)
+        case _ => // Ip/A/X tags carry no information we extract
+      }
+    }
+    if (w <= 0 || h <= 0 || fps <= 0) return None
+    val chromaBytes =
+      if (chroma.startsWith("420")) { if (w % 2 != 0 || h % 2 != 0) return None; (w / 2) * (h / 2) * 2 }
+      else if (chroma == "444") w * h * 3
+      else return None
+
+    val gridW = math.max(1, math.ceil(math.sqrt(dim.toDouble)).toInt)
+    val gridH = math.max(1, (dim + gridW - 1) / gridW)
+    // precompute each pixel's feature cell once; frames reuse it
+    val cellOf = new Array[Int](w * h)
+    locally {
+      var p = 0
+      while (p < w * h) {
+        val bx = math.min(gridW - 1, (p % w) * gridW / w)
+        val by = math.min(gridH - 1, (p / w) * gridH / h)
+        val c = by * gridW + bx
+        cellOf(p) = if (c < dim) c else -1
+        p += 1
+      }
+    }
+    val cellSum = new Array[Double](dim)
+    val cellN = new Array[Long](dim)
+    val frameSums = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val frameMagic = "FRAME".getBytes(StandardCharsets.US_ASCII)
+    var pos = eol + 1
+    while (pos < bytes.length) {
+      if (pos + frameMagic.length > bytes.length) return None
+      var j = 0
+      while (j < frameMagic.length) { if (bytes(pos + j) != frameMagic(j)) return None; j += 1 }
+      pos += frameMagic.length
+      while (pos < bytes.length && bytes(pos) != '\n') pos += 1 // frame params ignored
+      if (pos >= bytes.length) return None
+      pos += 1
+      if (pos + w * h + chromaBytes > bytes.length) return None
+      var sum = 0L
+      var p = 0
+      while (p < w * h) {
+        val v = bytes(pos + p) & 0xff
+        sum += v
+        val c = cellOf(p)
+        if (c >= 0) { cellSum(c) += v; cellN(c) += 1 }
+        p += 1
+      }
+      frameSums += sum
+      pos += w * h + chromaBytes
+    }
+    if (frameSums.isEmpty) return None
+    val feat = new Array[Float](dim)
+    var c = 0
+    while (c < dim) { feat(c) = if (cellN(c) == 0) 0.0f else (cellSum(c) / cellN(c) / 255.0).toFloat; c += 1 }
+    Some(Y4m(w, h, fps, frameSums.toArray, feat))
+  }
+
   private def featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("modality", StringType, nullable = false),
@@ -164,6 +268,9 @@ object Multimodal {
     StructField("sample_rate", IntegerType, nullable = true),
     StructField("n_samples", LongType, nullable = true),
     StructField("sum_amp", LongType, nullable = true),
+    StructField("fps", IntegerType, nullable = true),
+    StructField("n_frames", LongType, nullable = true),
+    StructField("sum_luma", LongType, nullable = true),
     StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false)
   ))
 
@@ -171,44 +278,68 @@ object Multimodal {
     * executor keeps codec state warm across the iterator, exactly like a
     * pandas-batch UDF holds a model per batch). Image rows are decoded with
     * javax.imageio (real pixels), audio rows with javax.sound.sampled (real
-    * WAV/PCM samples); video embeddings come from the labeled stub and have
-    * null pixel/sample fields — as does any undecodable payload. */
+    * WAV/PCM samples), video rows with [[parseY4m]] (real frames); any
+    * undecodable payload keeps its row with null typed fields and the
+    * labeled stub embedding. */
   def extractFeatures(media: DataFrame, dim: Int = 64): DataFrame = {
     val bytesIdx = media.schema.fieldIndex("bytes")
     val idIdx = media.schema.fieldIndex("media_id")
     val modIdx = media.schema.fieldIndex("modality")
     media.mapPartitions { it =>
-      // per-partition setup would open the video codec once here
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](bytesIdx)
         val modality = r.getString(modIdx)
         val nBytes = if (bytes == null) 0 else bytes.length
         val img = if (modality == "image") decodeImage(bytes, dim) else None
         val wav = if (modality == "audio") decodeWav(bytes, dim) else None
-        (img, wav) match {
-          case (Some((w, h, sr, sg, sb, feat)), _) =>
-            Row(r.getLong(idIdx), modality, nBytes, w, h, sr, sg, sb, null, null, null, feat)
-          case (_, Some((rate, n, sum, feat))) =>
-            Row(r.getLong(idIdx), modality, nBytes, null, null, null, null, null, rate, n, sum, feat)
+        val vid = if (modality == "video") parseY4m(bytes, dim) else None
+        (img, wav, vid) match {
+          case (Some((w, h, sr, sg, sb, feat)), _, _) =>
+            Row(r.getLong(idIdx), modality, nBytes, w, h, sr, sg, sb, null, null, null, null, null, null, feat)
+          case (_, Some((rate, n, sum, feat)), _) =>
+            Row(r.getLong(idIdx), modality, nBytes, null, null, null, null, null, rate, n, sum, null, null, null, feat)
+          case (_, _, Some(y4m)) =>
+            Row(r.getLong(idIdx), modality, nBytes, y4m.width, y4m.height, null, null, null, null, null, null,
+              y4m.fps, y4m.nFrames.toLong, y4m.sumLuma, y4m.feature)
           case _ =>
-            Row(r.getLong(idIdx), modality, nBytes, null, null, null, null, null, null, null, null, decodeStub(bytes, dim))
+            Row(r.getLong(idIdx), modality, nBytes, null, null, null, null, null, null, null, null, null, null, null,
+              decodeStub(bytes, dim))
         }
       }
     }(Encoders.row(featureSchema))
   }
 
-  /** Frame sampling stub for video rows: emits `fps`-spaced frame indices
-    * from the metadata duration — the exploded (media_id, frame_idx) layout a
-    * real frame extractor fills with pixels. */
-  def sampleFrames(media: DataFrame, everyMs: Long = 1000L): DataFrame =
+  private val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("sum_luma", LongType, nullable = false)
+  ))
+
+  /** REAL frame sampling for video rows: parse the y4m stream, keep one
+    * frame every `everyMs` of media time (stride = everyMs x the fps READ
+    * FROM THE STREAM HEADER, min 1 — frame 0 always kept), and emit the
+    * exploded (media_id, frame_idx, sum_luma) layout with each kept frame's
+    * exact decoded luma sum. Undecodable video rows emit nothing (they are
+    * the rows extractFeatures marks with null typed fields). */
+  def sampleFrames(media: DataFrame, everyMs: Long = 80L): DataFrame = {
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    val idIdx = media.schema.fieldIndex("media_id")
     media
       .filter(col("modality") === "video")
-      .select(
-        col("media_id"),
-        explode(
-          sequence(lit(0L), (coalesce(col("meta.duration_ms"), lit(0L)) / everyMs).cast("long"))
-        ).as("frame_idx")
-      )
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          parseY4m(r.getAs[Array[Byte]](bytesIdx), dim = 1) match {
+            case Some(y4m) =>
+              val stride = math.max(1L, everyMs * y4m.fps / 1000L)
+              val id = r.getLong(idIdx)
+              (0 until y4m.nFrames).iterator
+                .filter(_ % stride == 0)
+                .map(f => Row(id, f.toLong, y4m.frameLumaSums(f)))
+            case None => Iterator.empty
+          }
+        }
+      }(Encoders.row(frameSchema))
+  }
 
   /** Deterministic real PNG for id: a (16 + id%17) x (16 + id%13) image whose
     * channels are x-gradients ((c0 + x) mod 256 with c0 = id*{7,11,13} mod
@@ -260,13 +391,43 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** Deterministic real YUV4MPEG2 stream for id: w = 16 + 2*(id%9),
+    * h = 16 + 2*(id%7) (even, as 4:2:0 requires), 25 fps, nf = 2 + id%4
+    * frames; luma Y[f][p] = (id*17 + f*31 + p) mod 256 over raster index p
+    * (per-pixel AND per-frame varying, so an extractor must actually walk
+    * the planes), chroma flat 128. Every decoded statistic is closed-form
+    * for the SQL oracle — including total size: the header is exactly 41
+    * bytes (w and h are always 2 digits) and each frame 6 + 3*w*h/2, so
+    * n_bytes = 41 + nf*(6 + 3*w*h/2). */
+  def synthY4m(id: Long): Array[Byte] = {
+    val w = 16 + 2 * math.floorMod(id, 9L).toInt
+    val h = 16 + 2 * math.floorMod(id, 7L).toInt
+    val nf = 2 + math.floorMod(id, 4L).toInt
+    val y0 = math.floorMod(id * 17, 256L).toInt
+    val out = new ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n".getBytes(StandardCharsets.US_ASCII))
+    val chroma = new Array[Byte]((w / 2) * (h / 2) * 2)
+    java.util.Arrays.fill(chroma, 128.toByte)
+    var f = 0
+    while (f < nf) {
+      out.write("FRAME\n".getBytes(StandardCharsets.US_ASCII))
+      val y = new Array[Byte](w * h)
+      var p = 0
+      while (p < y.length) { y(p) = ((y0 + f * 31 + p) % 256).toByte; p += 1 }
+      out.write(y)
+      out.write(chroma)
+      f += 1
+    }
+    out.toByteArray
+  }
+
   /** Test/bench helper: wrap any (doc_id, text) table as media rows — image
     * rows carry REAL PNG bytes ([[synthPng]]), audio rows REAL WAV bytes
-    * ([[synthWav]]), video carries the UTF-8 text as its (stub-decoded)
-    * payload. */
+    * ([[synthWav]]), video rows REAL YUV4MPEG2 streams ([[synthY4m]]). */
   def synthesize(documents: DataFrame): DataFrame = {
     val pngUdf = udf((id: Long) => synthPng(id))
     val wavUdf = udf((id: Long) => synthWav(id))
+    val y4mUdf = udf((id: Long) => synthY4m(id))
     documents.select(
       col("doc_id").as("media_id"),
       when(col("doc_id") % 3 === 0, lit("image"))
@@ -274,16 +435,21 @@ object Multimodal {
         .otherwise(lit("video")).as("modality"),
       when(col("doc_id") % 3 === 0, pngUdf(col("doc_id")))
         .when(col("doc_id") % 3 === 1, wavUdf(col("doc_id")))
-        .otherwise(encode(col("text"), "UTF-8")).as("bytes"),
+        .otherwise(y4mUdf(col("doc_id"))).as("bytes"),
       struct(
         when(col("doc_id") % 3 === 0, (lit(16) + col("doc_id") % 17).cast("int"))
-          .otherwise(lit(640)).as("width"),
+          .when(col("doc_id") % 3 === 2, (lit(16) + lit(2) * (col("doc_id") % 9)).cast("int"))
+          .otherwise(lit(null).cast("int")).as("width"),
         when(col("doc_id") % 3 === 0, (lit(16) + col("doc_id") % 13).cast("int"))
-          .otherwise(lit(480)).as("height"),
-        (col("n_chars") * 10).cast("long").as("duration_ms"),
+          .when(col("doc_id") % 3 === 2, (lit(16) + lit(2) * (col("doc_id") % 7)).cast("int"))
+          .otherwise(lit(null).cast("int")).as("height"),
+        // 25 fps -> 40 ms per frame; audio duration from the PCM length
+        when(col("doc_id") % 3 === 2, (lit(2) + col("doc_id") % 4) * 40L)
+          .when(col("doc_id") % 3 === 1, (lit(256) + col("doc_id") % 256) * 1000L / 8000L)
+          .otherwise(lit(null)).cast("long").as("duration_ms"),
         when(col("doc_id") % 3 === 0, lit("png"))
           .when(col("doc_id") % 3 === 1, lit("wav"))
-          .otherwise(lit("fake")).as("codec")
+          .otherwise(lit("y4m")).as("codec")
       ).as("meta")
     )
   }

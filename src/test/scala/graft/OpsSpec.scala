@@ -393,26 +393,62 @@ class OpsSpec extends SparkSpec {
     }
   }
 
-  test("multimodal: features have the declared batch shape; frames follow metadata") {
+  test("multimodal: video rows decode real y4m frames matching the closed-form luma planes") {
+    val media = Multimodal.synthesize(docs)
+    val vid = Multimodal
+      .extractFeatures(media)
+      .filter(col("modality") === "video")
+      .select("media_id", "n_bytes", "width", "height", "fps", "n_frames", "sum_luma")
+      .collect()
+    assert(vid.nonEmpty, "no video rows synthesized")
+    vid.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = (16 + 2 * (id % 9).toInt, 16 + 2 * (id % 7).toInt)
+      val nf = 2 + (id % 4).toInt
+      assert(r.getInt(1) == 41 + nf * (6 + 3 * w * h / 2), s"y4m byte size for $id")
+      assert(r.getInt(2) == w && r.getInt(3) == h, s"decoded dims for $id")
+      assert(r.getInt(4) == 25, s"fps parsed from the stream header for $id")
+      assert(r.getLong(5) == nf.toLong, s"decoded frame count for $id")
+      val y0 = (id * 17 % 256).toInt
+      val expSum = (0 until nf).map(f => (0 until w * h).map(p => (y0 + f * 31 + p) % 256).sum.toLong).sum
+      assert(r.getLong(6) == expSum, s"decoded luma sum for $id")
+    }
+  }
+
+  test("multimodal: features have the declared batch shape; frames are real decode output") {
     val media = Multimodal.synthesize(docs)
     val feats = Multimodal.extractFeatures(media, dim = 16)
     assert(feats.schema.fieldNames.toSeq ==
       Seq("media_id", "modality", "n_bytes", "width", "height", "sum_r", "sum_g", "sum_b",
-        "sample_rate", "n_samples", "sum_amp", "embedding"))
-    val sample = feats.filter(col("modality") =!= "image").limit(5).collect()
+        "sample_rate", "n_samples", "sum_amp", "fps", "n_frames", "sum_luma", "embedding"))
+    val sample = feats.filter(col("modality") === "audio").limit(5).collect()
     assert(sample.forall(_.getAs[Seq[Float]]("embedding").length == 16))
-    assert(sample.forall(_.isNullAt(3)), "non-image rows must have null pixel fields")
+    assert(sample.forall(_.isNullAt(3)), "audio rows must have null pixel fields")
     val video = feats.filter(col("modality") === "video").limit(5).collect()
     assert(video.forall(_.isNullAt(8)), "video rows must have null sample fields")
+    assert(video.forall(!_.isNullAt(11)), "video rows must carry decoded fps")
     // determinism: same bytes -> same embedding
     val twice = Multimodal.extractFeatures(media, dim = 16)
     val a = feats.orderBy("media_id").limit(3).collect().map(_.toSeq)
     val b = twice.orderBy("media_id").limit(3).collect().map(_.toSeq)
     assert(a.sameElements(b) || a.zip(b).forall { case (x, y) => x == y })
 
-    val frames = Multimodal.sampleFrames(media, everyMs = 500)
-    val n = frames.groupBy("media_id").count().limit(5).collect()
-    assert(n.forall(_.getLong(1) >= 1))
+    // 80 ms at the parsed 25 fps = every 2nd frame: ids with nf = 2+id%4
+    // frames keep ceil(nf/2) of them, each with its exact luma sum
+    val frames = Multimodal.sampleFrames(media, everyMs = 80).collect()
+    assert(frames.nonEmpty, "no frames sampled")
+    val byId = frames.groupBy(_.getLong(0))
+    byId.foreach { case (id, rs) =>
+      val nf = 2 + (id % 4).toInt
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (0 until nf by 2).map(_.toLong), s"kept frames for $id")
+      val (w, h) = (16 + 2 * (id % 9).toInt, 16 + 2 * (id % 7).toInt)
+      val y0 = (id * 17 % 256).toInt
+      rs.foreach { r =>
+        val f = r.getLong(1).toInt
+        val exp = (0 until w * h).map(p => (y0 + f * 31 + p) % 256).sum.toLong
+        assert(r.getLong(2) == exp, s"frame $f luma sum for $id")
+      }
+    }
   }
 
   test("text analysis columns are self-consistent") {
