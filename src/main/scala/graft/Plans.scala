@@ -88,6 +88,13 @@ object Plans {
       // which is the part that scans the corpus-sized table
       "q25b incremental components (delta CC + relabel join of the existing assignment)" ->
         SparkEntry.queries("q25b_components_incremental")(spark, sf),
+      "q42 cluster representatives (doc_id equi-join + window partitioned BY CLUSTER — no global sort)" ->
+        SparkEntry.queries("q42_cluster_representatives")(spark, sf),
+      // q43's per-partition sum job runs EAGERLY at construction; the dumped
+      // plan is the stamping pass — InMemoryTableScan of the range-partitioned
+      // copy + one narrow mapPartitions, no single-partition window anywhere
+      "q43 shard pack (global prefix sum: cached range partition + narrow stamp)" ->
+        SparkEntry.queries("q43_shard_pack")(spark, sf),
       // the streaming ingest plan, dumped through its batch-parity shape
       // (identical operators; a started streaming query can't be explained
       // here): broadcast-dict encode -> band explode -> index equi-join ->

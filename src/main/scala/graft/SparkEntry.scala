@@ -3,7 +3,7 @@ package graft
 import scala.collection.concurrent.TrieMap
 
 import graft.dedup.{CacheRegistry, Components, Config, Ids, IntersectCountSorted, Jaccard, MinHash, SimHash, Stopwords, Tokenize, Vocabulary}
-import graft.ops.{Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Multimodal, ShardPack, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -697,6 +697,30 @@ object SparkEntry {
         reg = transientReg
       )
     }),
+    // Dedup survivorship: collapse each near-dup cluster (q25's assignment)
+    // to its best member — longest text, ties to the lowest doc_id. The
+    // oracle recomputes clustering (q25's recursive CTE) + the same window.
+    "q42_cluster_representatives" -> ((s, dir) =>
+      Components.representatives(
+        Components.assignAll(encCached(s, dir), lshVerifiedCached(s, dir)),
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "n_chars"
+      )),
+    // Training-shard sequence packing: global token-offset prefix sum in the
+    // scalable two-pass form (range partition + per-partition sums + driver
+    // fold; NO single-partition window), budget 4096 tokens per shard.
+    "q43_shard_pack" -> ((s, dir) =>
+      ShardPack.pack(
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long").as("n_tokens")
+          ),
+        "doc_id",
+        "n_tokens",
+        budget = 4096L,
+        reg = transientReg
+      )),
     "q28_lsh_cosine_top3" -> ((s, dir) =>
       // ids + rank only (the cosine double is an order-dependent aggregate);
       // the oracle reproduces the sketch from the literal hyperplane matrix
@@ -1135,6 +1159,29 @@ object SparkEntry {
          |cc AS (SELECT node, min(lab) AS cluster_id FROM r GROUP BY node)
          |SELECT sz.doc_id, CAST(coalesce(cc.cluster_id, sz.doc_id) AS BIGINT) AS cluster_id
          |FROM sz LEFT JOIN cc ON sz.doc_id = cc.node""".stripMargin.replace("\n", " "),
+    // q25's clustering + the survivorship window: keep = best (n_chars DESC,
+    // doc_id ASC) member of each cluster
+    "q42_cluster_representatives" ->
+      s"""WITH RECURSIVE $prunedTokensCte,
+         |${pairsWithCountsSql(0.5)},
+         |e AS (SELECT a AS u, b AS v FROM pc UNION ALL SELECT b, a FROM pc),
+         |r(node, lab) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e) t
+         |  UNION SELECT e.v, r.lab FROM r JOIN e ON r.node = e.u),
+         |cc AS (SELECT node, min(lab) AS cluster_id FROM r GROUP BY node),
+         |asg AS (SELECT sz.doc_id, CAST(coalesce(cc.cluster_id, sz.doc_id) AS BIGINT) AS cluster_id
+         |  FROM sz LEFT JOIN cc ON sz.doc_id = cc.node)
+         |SELECT a.doc_id, a.cluster_id,
+         | (row_number() OVER (PARTITION BY a.cluster_id ORDER BY d.n_chars DESC, a.doc_id) = 1) AS keep
+         |FROM asg a JOIN documents d ON a.doc_id = d.doc_id""".stripMargin.replace("\n", " "),
+    "q43_shard_pack" ->
+      """WITH n AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens FROM documents)
+        |SELECT doc_id, n_tokens,
+        | CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset,
+        | CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096 AS BIGINT) AS shard_id
+        |FROM n""".stripMargin.replace("\n", " "),
     "q35_top_pairs_per_group" ->
       s"""WITH $prunedTokensCte,
          |${pairsWithCountsSql(0.5)}

@@ -238,6 +238,37 @@ object Components {
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Cluster-representative selection — the dedup SURVIVORSHIP policy: each
+    * near-dup cluster collapses to one canonical document, chosen as the
+    * highest-`qualityCol` member (ties broken by lowest doc_id, so the
+    * choice is deterministic). This is the step a C4/FineWeb-style corpus
+    * build runs after clustering: near-dup classes keep their best-quality
+    * exemplar rather than an arbitrary one.
+    *
+    * `assign`:  (doc_id, cluster_id) — e.g. [[assignAll]] output.
+    * `quality`: (doc_id, <qualityCol>) — any per-doc score (length, a model
+    *            score, the q17 quality signals).
+    * Output: (doc_id, cluster_id, keep) — every input doc, `keep` true on
+    * exactly one row per cluster.
+    *
+    * Scale shape: one equi-join on doc_id (AQE picks broadcast vs shuffle by
+    * the quality table's width) + one window shuffle PARTITIONED BY
+    * cluster_id. Cluster sizes are near-dup class sizes, bounded in practice
+    * because the pipeline collapses exact-dup classes BEFORE LSH — no
+    * single-partition global sort anywhere. */
+  def representatives(
+      assign: DataFrame,
+      quality: DataFrame,
+      qualityCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cluster_id").orderBy(col(qualityCol).desc, col("doc_id").asc)
+    assign
+      .join(quality, Seq("doc_id"))
+      .withColumn("__rn", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), (col("__rn") === 1).as("keep"))
+  }
+
   /** INCREMENTAL components maintenance: fold a batch of new pairs (and new
     * docs) into an existing assignment without re-clustering the corpus —
     * the ingest-time operation at 10^12 files, where a day's delta is

@@ -1,6 +1,5 @@
 package graft.dedup
 
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -98,7 +97,19 @@ object Ids {
     * sort (one shuffle), count rows per partition (narrow job over the
     * cached sorted copy), fold counts into start offsets on the driver
     * (O(#partitions) state), stamp offset + local index (second narrow
-    * job). The persist pins the partitioning both jobs must share. */
+    * job). The persist pins the partitioning both jobs must share.
+    *
+    * The partition id is MATERIALIZED INTO THE CACHED ROWS
+    * (spark_partition_id() at cache-build time), not read from TaskContext
+    * at stamp time: TaskContext.getPartitionId() returns the TASK's
+    * partition id, and a downstream no-shuffle coalesce() fuses many parent
+    * partitions into one task — every parent would then read the same
+    * (coalesced) id and restart from the same offset, silently DUPLICATING
+    * ids. A fused coalesce still invokes the stamp function once per parent
+    * split with that split's rows, so reading the stored pid from the rows
+    * is correct under any downstream plan (the bug was latent here only
+    * because every current caller shuffles a stamped output before any
+    * sink; ShardPack hit it for real under the driver's coalesce(1)). */
   private def stampDense(
       input: DataFrame,
       sortCols: Seq[String],
@@ -110,7 +121,9 @@ object Ids {
       input
         .repartitionByRange(cols: _*)
         .sortWithinPartitions(cols: _*)
+        .withColumn("__pid", spark_partition_id())
     )
+    val pidIdx = sorted.schema.fieldIndex("__pid")
 
     // per-partition counts over the CACHED sorted copy. Dataset.mapPartitions,
     // not queryExecution.toRdd: a Dataset action plans through the cache
@@ -120,9 +133,13 @@ object Ids {
     import org.apache.spark.sql.Encoders.{scalaInt, scalaLong, tuple}
     val counts: Array[(Int, Long)] = sorted
       .mapPartitions { it =>
-        var n = 0L
-        while (it.hasNext) { it.next(); n += 1 }
-        Iterator.single((TaskContext.getPartitionId(), n))
+        if (!it.hasNext) Iterator.empty
+        else {
+          var n = 0L
+          var pid = -1
+          while (it.hasNext) { pid = it.next().getInt(pidIdx); n += 1 }
+          Iterator.single((pid, n))
+        }
       }(tuple(scalaInt, scalaLong))
       .collect()
       .sortBy(_._1)
@@ -133,12 +150,15 @@ object Ids {
     }
     val bOffsets = input.sparkSession.sparkContext.broadcast(offsets)
 
-    val outSchema = StructType(sorted.schema.fields :+ StructField(idCol, LongType, nullable = false))
+    val outSchema = StructType(
+      sorted.schema.fields.filterNot(_.name == "__pid") :+
+        StructField(idCol, LongType, nullable = false)
+    )
     sorted.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
-      var next = bOffsets.value.getOrElse(pid, 0L)
+      var next = -1L
       it.map { r =>
-        val out = Row.fromSeq(r.toSeq :+ next)
+        if (next < 0) next = bOffsets.value.getOrElse(r.getInt(pidIdx), 0L)
+        val out = Row.fromSeq(r.toSeq.patch(pidIdx, Nil, 1) :+ next)
         next += 1
         out
       }

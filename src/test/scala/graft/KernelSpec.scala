@@ -328,6 +328,26 @@ class KernelSpec extends SparkSpec {
     assert(a.map(_._1).sameElements(a.map(_._1).sorted))
   }
 
+  test("assignDense: ids survive a downstream no-shuffle coalesce(1)") {
+    // TaskContext.getPartitionId() inside a fused coalesce task returns the
+    // COALESCED partition id for every parent split — stamping from it
+    // duplicates ids. The pid is materialized into the cached rows instead;
+    // this pins that a coalesced sink (the driver's Verify writes
+    // .coalesce(1).parquet) still sees dense unique ids.
+    val df = spark
+      .createDataFrame((0 until 400).map(i => (f"k$i%04d", i)))
+      .toDF("k", "v")
+      .repartition(11)
+    val ids = Ids
+      .assignDense(df, Seq("k"), "id")
+      .coalesce(1)
+      .select("id")
+      .as[Long]
+      .collect()
+      .sorted
+    assert(ids.sameElements(0L until 400L), "coalesced stamp must stay dense and unique")
+  }
+
   test("assignDense with dropDuplicateKeys keeps one row per key, ids stay dense") {
     val df = spark
       .createDataFrame((0 until 300).map(i => (f"k${i % 100}%04d", i)))

@@ -1,6 +1,7 @@
 package graft
 
-import graft.ops.{Multimodal, Similarity, TextAnalysis}
+import graft.dedup.Components
+import graft.ops.{Multimodal, ShardPack, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 class OpsSpec extends SparkSpec {
@@ -449,6 +450,63 @@ class OpsSpec extends SparkSpec {
         assert(r.getLong(2) == exp, s"frame $f luma sum for $id")
       }
     }
+  }
+
+  test("cluster representatives: exactly one keeper per cluster, the best by (quality desc, id asc)") {
+    val assign = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), // cluster 1: quality tie between 2 and 3
+      (4L, 4L), (5L, 4L),           // cluster 4
+      (6L, 6L)                      // singleton
+    ).toDF("doc_id", "cluster_id")
+    val quality = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L),
+      (4L, 5L), (5L, 50L),
+      (6L, 1L)
+    ).toDF("doc_id", "n_chars")
+    val got = Components
+      .representatives(assign, quality, "n_chars")
+      .as[(Long, Long, Boolean)]
+      .collect()
+      .sortBy(_._1)
+    assert(got.map(r => (r._1, r._3)).toSeq ==
+      Seq((1L, false), (2L, true), (3L, false), (4L, false), (5L, true), (6L, true)))
+    assert(got.filter(_._3).map(_._2).distinct.length == 3, "one keeper per cluster")
+  }
+
+  test("shard pack: distributed prefix sum equals the sequential layout at any input partitioning") {
+    val rows = (0L until 500L).map(i => (i, (i * 7) % 23)) // includes weight-0 docs
+    val expected = {
+      var acc = 0L
+      rows.map { case (id, n) => val off = acc; acc += n; (id, n, off, off / 100) }
+    }
+    for (parts <- Seq(1, 7, 32)) {
+      val df = rows.toDF("doc_id", "n_tokens").repartition(parts)
+      val got = ShardPack
+        .pack(df, "doc_id", "n_tokens", budget = 100L)
+        .as[(Long, Long, Long, Long)]
+        .collect()
+        .sortBy(_._1)
+        .toSeq
+      assert(got == expected, s"shard layout diverged at input partitioning $parts")
+    }
+    // a shard boundary never reorders: offsets are strictly monotone in id
+    val offs = ShardPack
+      .pack(rows.toDF("doc_id", "n_tokens"), "doc_id", "n_tokens", 100L)
+      .orderBy("doc_id")
+      .select("token_offset")
+      .as[Long]
+      .collect()
+    assert(offs.zip(offs.tail).forall { case (a, b) => a <= b })
+    // and the layout survives a downstream no-shuffle coalesce(1) — the
+    // TaskContext-pid-in-a-fused-task trap the stored __pid column avoids
+    val coalesced = ShardPack
+      .pack(rows.toDF("doc_id", "n_tokens").repartition(9), "doc_id", "n_tokens", 100L)
+      .coalesce(1)
+      .as[(Long, Long, Long, Long)]
+      .collect()
+      .sortBy(_._1)
+      .toSeq
+    assert(coalesced == expected, "shard layout corrupted by coalesced sink")
   }
 
   test("text analysis columns are self-consistent") {
