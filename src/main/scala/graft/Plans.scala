@@ -95,6 +95,8 @@ object Plans {
       // copy + one narrow mapPartitions, no single-partition window anywhere
       "q43 shard pack (global prefix sum: cached range partition + narrow stamp)" ->
         SparkEntry.queries("q43_shard_pack")(spark, sf),
+      "q45 vendored flags (distinct-first repo count — mega dup classes cannot skew the agg)" ->
+        SparkEntry.queries("q45_vendored_flags")(spark, sf),
       // the streaming ingest plan, dumped through its batch-parity shape
       // (identical operators; a started streaming query can't be explained
       // here): broadcast-dict encode -> band explode -> index equi-join ->

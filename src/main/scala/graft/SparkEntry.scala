@@ -3,7 +3,7 @@ package graft
 import scala.collection.concurrent.TrieMap
 
 import graft.dedup.{CacheRegistry, Components, Config, Ids, IntersectCountSorted, Jaccard, MinHash, SimHash, Stopwords, Tokenize, Vocabulary}
-import graft.ops.{Multimodal, ShardPack, Similarity, TextAnalysis}
+import graft.ops.{CorpusPrep, Multimodal, ShardPack, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -721,6 +721,34 @@ object SparkEntry {
         budget = 4096L,
         reg = transientReg
       )),
+    // Versioned-corpus collapse: the documents table stood up as a commit
+    // history — repo = doc_id % 7, path = doc_id % 13, commit ordinal =
+    // doc_id — and the newest version of each (repo, path) file wins.
+    "q44_latest_version" -> ((s, dir) =>
+      CorpusPrep
+        .latestVersion(
+          t(s, dir, "documents")
+            .select(col("doc_id"), (col("doc_id") % 7).as("repo"), (col("doc_id") % 13).as("path")),
+          "repo",
+          "path",
+          orderCol = "doc_id",
+          tieCol = "doc_id"
+        )),
+    // Vendored/boilerplate detection: content key = the first 64 chars (the
+    // license-header block), repo = doc_id % 7; content present in >= 3
+    // distinct repos is flagged. n_repos is exact per content hash but
+    // computed over DISTINCT (hash, repo) pairs, so mega dup classes cannot
+    // skew the aggregate.
+    "q45_vendored_flags" -> ((s, dir) =>
+      CorpusPrep
+        .vendoredFlags(
+          t(s, dir, "documents")
+            .select(col("doc_id"), substring(col("text"), 1, 64).as("content"), (col("doc_id") % 7).as("repo")),
+          "content",
+          "repo",
+          minRepos = 3L
+        )
+        .select("doc_id", "repo", "n_repos", "vendored")),
     "q28_lsh_cosine_top3" -> ((s, dir) =>
       // ids + rank only (the cosine double is an order-dependent aggregate);
       // the oracle reproduces the sketch from the literal hyperplane matrix
@@ -1182,6 +1210,16 @@ object SparkEntry {
         | CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096 AS BIGINT) AS shard_id
         |FROM n""".stripMargin.replace("\n", " "),
+    "q44_latest_version" ->
+      """SELECT doc_id, doc_id % 7 AS repo, doc_id % 13 AS path,
+        | (row_number() OVER (PARTITION BY doc_id % 7, doc_id % 13
+        |    ORDER BY doc_id DESC, doc_id ASC) = 1) AS keep
+        |FROM documents""".stripMargin.replace("\n", " "),
+    "q45_vendored_flags" ->
+      """WITH h AS (SELECT doc_id, doc_id % 7 AS repo, md5(substr(text, 1, 64)) AS h FROM documents),
+        |c AS (SELECT h, count(DISTINCT repo) AS n_repos FROM h GROUP BY h)
+        |SELECT h.doc_id, h.repo, CAST(c.n_repos AS BIGINT) AS n_repos, c.n_repos >= 3 AS vendored
+        |FROM h JOIN c USING (h)""".stripMargin.replace("\n", " "),
     "q35_top_pairs_per_group" ->
       s"""WITH $prunedTokensCte,
          |${pairsWithCountsSql(0.5)}

@@ -1,7 +1,7 @@
 package graft
 
 import graft.dedup.Components
-import graft.ops.{Multimodal, ShardPack, Similarity, TextAnalysis}
+import graft.ops.{CorpusPrep, Multimodal, ShardPack, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 class OpsSpec extends SparkSpec {
@@ -599,5 +599,56 @@ class OpsSpec extends SparkSpec {
       if (tb.isNaN) assert(r.isNullAt(4), s"doc $id top_bigram_char_frac should be NULL")
       else assert(r.getDouble(4) == tb, s"doc $id top_bigram_char_frac over '$text'")
     }
+  }
+
+  test("latestVersion keeps exactly the max-order row per (repo, path)") {
+    // (repo, path, commit) with multi-version files and a singleton
+    val rows = Seq(
+      ("r1", "a.sc", 1L),
+      ("r1", "a.sc", 5L),
+      ("r1", "a.sc", 3L),
+      ("r1", "b.sc", 2L),
+      ("r2", "a.sc", 4L) // same path in another repo is a separate file
+    ).toDF("repo", "path", "commit")
+    val got = CorpusPrep
+      .latestVersion(rows, "repo", "path", orderCol = "commit", tieCol = "commit")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getBoolean(3))
+      .toMap
+    val want = Map(
+      ("r1", "a.sc", 1L) -> false,
+      ("r1", "a.sc", 5L) -> true,
+      ("r1", "a.sc", 3L) -> false,
+      ("r1", "b.sc", 2L) -> true,
+      ("r2", "a.sc", 4L) -> true
+    )
+    assert(got == want)
+    // every group keeps exactly one row
+    assert(got.count(_._2) == 3)
+  }
+
+  test("vendoredFlags counts DISTINCT repos per exact content, not copies") {
+    val rows = Seq(
+      // license text in 3 repos, twice in r1 (copies must not inflate n_repos)
+      (1L, "LICENSE MIT", "r1"),
+      (2L, "LICENSE MIT", "r1"),
+      (3L, "LICENSE MIT", "r2"),
+      (4L, "LICENSE MIT", "r3"),
+      // unique file
+      (5L, "def main()", "r1"),
+      // two repos only -> below the minRepos=3 bar
+      (6L, "setup.py", "r1"),
+      (7L, "setup.py", "r2")
+    ).toDF("doc_id", "content", "repo")
+    val got = CorpusPrep
+      .vendoredFlags(rows, "content", "repo", minRepos = 3L)
+      .select("doc_id", "n_repos", "vendored")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(got(1L) == ((3L, true)) && got(2L) == ((3L, true)))
+    assert(got(3L) == ((3L, true)) && got(4L) == ((3L, true)))
+    assert(got(5L) == ((1L, false)))
+    assert(got(6L) == ((2L, false)) && got(7L) == ((2L, false)))
   }
 }
