@@ -884,7 +884,9 @@ object SparkEntry {
     // Real decoded frame sampling: stride = 80 ms x the fps parsed from the
     // y4m header (25) = every 2nd frame, each with its exact luma-plane sum.
     "q27_frame_sample" -> ((s, dir) =>
-      Multimodal.sampleFrames(Multimodal.synthesize(t(s, dir, "documents")))),
+      // everyMs=80 here (every 2nd frame at the synth 25 fps streams), not
+      // the API default 1000 — the oracle below encodes this stride
+      Multimodal.sampleFrames(Multimodal.synthesize(t(s, dir, "documents")), everyMs = 80L)),
     // The winnowing CANDIDATE stage of the substring detector, split out
     // because it IS oracle-able: fingerprints are a pure function of
     // (text, k, window) (rolling polynomial hash mod 2^61-1, windowed min,

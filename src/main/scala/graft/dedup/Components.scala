@@ -247,7 +247,11 @@ object Components {
     *
     * `assign`:  (doc_id, cluster_id) — e.g. [[assignAll]] output.
     * `quality`: (doc_id, <qualityCol>) — any per-doc score (length, a model
-    *            score, the q17 quality signals).
+    *            score, the q17 quality signals). Docs absent from `quality`
+    *            are NOT dropped: they join with a null score, which sorts
+    *            after every real score (desc = NULLS LAST), so an unscored
+    *            doc only wins its cluster when no scored member exists
+    *            (then lowest doc_id, still deterministic).
     * Output: (doc_id, cluster_id, keep) — every input doc, `keep` true on
     * exactly one row per cluster.
     *
@@ -264,7 +268,7 @@ object Components {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("cluster_id").orderBy(col(qualityCol).desc, col("doc_id").asc)
     assign
-      .join(quality, Seq("doc_id"))
+      .join(quality, Seq("doc_id"), "left")
       .withColumn("__rn", row_number().over(w))
       .select(col("doc_id"), col("cluster_id"), (col("__rn") === 1).as("keep"))
   }

@@ -50,7 +50,9 @@ object CorpusPrep {
 
   /** Flag vendored/boilerplate content: rows whose EXACT content (md5 of
     * `contentCol`) occurs in at least `minRepos` distinct `repoCol` values.
-    * Output: input columns + `n_repos: Long` + `vendored: Boolean`. */
+    * Output: input columns + `n_repos: Long` + `vendored: Boolean`.
+    * NULL-content rows pass through (n_repos=0, vendored=false) — md5(NULL)
+    * is NULL and never joins, so an inner join would silently drop them. */
   def vendoredFlags(
       df: DataFrame,
       contentCol: String,
@@ -68,7 +70,8 @@ object CorpusPrep {
       .groupBy("__h")
       .agg(count(lit(1)).as("n_repos"))
     hashed
-      .join(counts, Seq("__h"))
+      .join(counts, Seq("__h"), "left")
+      .withColumn("n_repos", coalesce(col("n_repos"), lit(0L)))
       .withColumn("vendored", col("n_repos") >= minRepos)
       .drop("__h")
   }

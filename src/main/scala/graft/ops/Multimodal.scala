@@ -160,16 +160,26 @@ object Multimodal {
 
   /** Decoded YUV4MPEG2 stream: real header fields, exact per-frame luma
     * sums, and a block-mean feature over the frame-averaged luma plane. */
-  private[ops] final case class Y4m(
+  private[graft] final case class Y4m(
       width: Int,
       height: Int,
-      fps: Int,
+      fpsNum: Int,
+      fpsDen: Int,
       frameLumaSums: Array[Long],
       feature: Array[Float]
   ) {
     def nFrames: Int = frameLumaSums.length
+    // integer-truncated rate for the typed feature column; frame-stride math
+    // keeps the exact rational (fpsNum, fpsDen) so non-integral rates
+    // (NTSC F30000:1001) do not skew sampling
+    def fps: Int = fpsNum / fpsDen
     def sumLuma: Long = { var s = 0L; var i = 0; while (i < frameLumaSums.length) { s += frameLumaSums(i); i += 1 }; s }
   }
+
+  /** Upper bound on header-declared luma-plane pixels (w*h): 1<<26 ≈ 67M —
+    * double an 8K frame. A malformed header cannot demand a multi-GB
+    * allocation or overflow Int frame arithmetic past this gate. */
+  private val MaxY4mPixels: Long = 1L << 26
 
   /** Real video decode: parses the YUV4MPEG2 container (spec: plain-text
     * `YUV4MPEG2 W.. H.. F..:.. .. \n` stream header, then per frame a
@@ -181,7 +191,7 @@ object Multimodal {
     * fps from the header, frame count by walking FRAME markers, luma sums
     * from the Y planes, and a `dim`-float block-mean feature over the
     * temporally-averaged luma (same grid as [[decodeImage]]). */
-  private[ops] def parseY4m(bytes: Array[Byte], dim: Int): Option[Y4m] = {
+  private[graft] def parseY4m(bytes: Array[Byte], dim: Int): Option[Y4m] = {
     val magic = "YUV4MPEG2 ".getBytes(StandardCharsets.US_ASCII)
     if (bytes == null || bytes.length < magic.length) return None
     var i = 0
@@ -190,32 +200,48 @@ object Multimodal {
     while (eol < bytes.length && bytes(eol) != '\n') eol += 1
     if (eol >= bytes.length) return None
     val header = new String(bytes, i, eol - i, StandardCharsets.US_ASCII)
-    var w = -1; var h = -1; var fps = -1; var chroma = "420jpeg"
+    var w = -1; var h = -1; var fpsNum = -1; var fpsDen = -1; var chroma = "420jpeg"
     header.split(' ').foreach { tok =>
       if (tok.nonEmpty) tok.charAt(0) match {
         case 'W' => w = tok.drop(1).toIntOption.getOrElse(-1)
         case 'H' => h = tok.drop(1).toIntOption.getOrElse(-1)
         case 'F' =>
           val nd = tok.drop(1).split(':')
-          if (nd.length == 2)
-            fps = (for (n <- nd(0).toIntOption; d <- nd(1).toIntOption if d > 0) yield n / d).getOrElse(-1)
+          if (nd.length == 2) {
+            fpsNum = nd(0).toIntOption.getOrElse(-1)
+            fpsDen = nd(1).toIntOption.getOrElse(-1)
+          }
         case 'C' => chroma = tok.drop(1)
         case _ => // Ip/A/X tags carry no information we extract
       }
     }
-    if (w <= 0 || h <= 0 || fps <= 0) return None
-    val chromaBytes =
-      if (chroma.startsWith("420")) { if (w % 2 != 0 || h % 2 != 0) return None; (w / 2) * (h / 2) * 2 }
-      else if (chroma == "444") w * h * 3
+    if (w <= 0 || h <= 0 || fpsNum <= 0 || fpsDen <= 0) return None
+    // All frame-size arithmetic in Long: header-declared W/H are untrusted,
+    // and w*h can overflow Int (a wrapped-negative size would corrupt the
+    // position checks below or throw NegativeArraySizeException out of the
+    // documented return-None contract).
+    val lumaBytes: Long = w.toLong * h
+    val chromaBytes: Long =
+      if (chroma.startsWith("420")) { if (w % 2 != 0 || h % 2 != 0) return None; (w / 2).toLong * (h / 2) * 2 }
+      // 4:4:4 = three full-resolution planes per frame: Y (counted as
+      // lumaBytes) + U + V
+      else if (chroma == "444") lumaBytes * 2
       else return None
+    // before ANY allocation sized by the header: the payload must hold at
+    // least one "FRAME\n" marker plus one full frame, and the luma plane must
+    // stay Int-indexable (MaxY4mPixels also rejects absurd allocations a
+    // tiny malformed buffer could otherwise demand)
+    if (lumaBytes > MaxY4mPixels) return None
+    if ((eol + 1).toLong + 6L + lumaBytes + chromaBytes > bytes.length) return None
+    val nPix = lumaBytes.toInt
 
     val gridW = math.max(1, math.ceil(math.sqrt(dim.toDouble)).toInt)
     val gridH = math.max(1, (dim + gridW - 1) / gridW)
     // precompute each pixel's feature cell once; frames reuse it
-    val cellOf = new Array[Int](w * h)
+    val cellOf = new Array[Int](nPix)
     locally {
       var p = 0
-      while (p < w * h) {
+      while (p < nPix) {
         val bx = math.min(gridW - 1, (p % w) * gridW / w)
         val by = math.min(gridH - 1, (p / w) * gridH / h)
         val c = by * gridW + bx
@@ -236,10 +262,10 @@ object Multimodal {
       while (pos < bytes.length && bytes(pos) != '\n') pos += 1 // frame params ignored
       if (pos >= bytes.length) return None
       pos += 1
-      if (pos + w * h + chromaBytes > bytes.length) return None
+      if (pos.toLong + lumaBytes + chromaBytes > bytes.length) return None
       var sum = 0L
       var p = 0
-      while (p < w * h) {
+      while (p < nPix) {
         val v = bytes(pos + p) & 0xff
         sum += v
         val c = cellOf(p)
@@ -247,13 +273,15 @@ object Multimodal {
         p += 1
       }
       frameSums += sum
-      pos += w * h + chromaBytes
+      // nPix + chromaBytes <= 4 * MaxY4mPixels < Int.MaxValue and the bound
+      // check above guarantees the sum stays <= bytes.length
+      pos += nPix + chromaBytes.toInt
     }
     if (frameSums.isEmpty) return None
     val feat = new Array[Float](dim)
     var c = 0
     while (c < dim) { feat(c) = if (cellN(c) == 0) 0.0f else (cellSum(c) / cellN(c) / 255.0).toFloat; c += 1 }
-    Some(Y4m(w, h, fps, frameSums.toArray, feat))
+    Some(Y4m(w, h, fpsNum, fpsDen, frameSums.toArray, feat))
   }
 
   private def featureSchema: StructType = StructType(Seq(
@@ -321,7 +349,7 @@ object Multimodal {
     * exploded (media_id, frame_idx, sum_luma) layout with each kept frame's
     * exact decoded luma sum. Undecodable video rows emit nothing (they are
     * the rows extractFeatures marks with null typed fields). */
-  def sampleFrames(media: DataFrame, everyMs: Long = 80L): DataFrame = {
+  def sampleFrames(media: DataFrame, everyMs: Long = 1000L): DataFrame = {
     val bytesIdx = media.schema.fieldIndex("bytes")
     val idIdx = media.schema.fieldIndex("media_id")
     media
@@ -330,7 +358,9 @@ object Multimodal {
         it.flatMap { r =>
           parseY4m(r.getAs[Array[Byte]](bytesIdx), dim = 1) match {
             case Some(y4m) =>
-              val stride = math.max(1L, everyMs * y4m.fps / 1000L)
+              // exact rational rate in Long arithmetic: F30000:1001 strides
+              // by 30000*everyMs/(1000*1001) frames, not a truncated 29 fps
+              val stride = math.max(1L, everyMs * y4m.fpsNum / (1000L * y4m.fpsDen))
               val id = r.getLong(idIdx)
               (0 until y4m.nFrames).iterator
                 .filter(_ % stride == 0)

@@ -651,4 +651,84 @@ class OpsSpec extends SparkSpec {
     assert(got(5L) == ((1L, false)))
     assert(got(6L) == ((2L, false)) && got(7L) == ((2L, false)))
   }
+
+  test("vendoredFlags passes NULL-content rows through with n_repos=0") {
+    val rows = Seq(
+      (1L, "LICENSE MIT", "r1"),
+      (2L, "LICENSE MIT", "r2"),
+      (3L, null, "r1"),
+      (4L, null, "r2")
+    ).toDF("doc_id", "content", "repo")
+    val got = CorpusPrep
+      .vendoredFlags(rows, "content", "repo", minRepos = 2L)
+      .select("doc_id", "n_repos", "vendored")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(got.size == 4, "null-content rows must not be dropped")
+    assert(got(1L) == ((2L, true)) && got(2L) == ((2L, true)))
+    assert(got(3L) == ((0L, false)) && got(4L) == ((0L, false)))
+  }
+
+  test("cluster representatives: docs missing from the quality table are kept, never win over scored docs") {
+    val assign = Seq(
+      (1L, 1L), (2L, 1L), // cluster 1: doc 2 unscored
+      (3L, 3L), (4L, 3L)  // cluster 3: fully unscored
+    ).toDF("doc_id", "cluster_id")
+    val quality = Seq((1L, 5L)).toDF("doc_id", "n_chars")
+    val got = Components
+      .representatives(assign, quality, "n_chars")
+      .as[(Long, Long, Boolean)]
+      .collect()
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L), "every input doc present in output")
+    // scored doc 1 beats unscored doc 2; fully-unscored cluster keeps lowest id
+    assert(got.map(r => (r._1, r._3)).toSeq == Seq((1L, true), (2L, false), (3L, true), (4L, false)))
+  }
+
+  // hand-built y4m stream: `planesPerFrame` full-res planes per FRAME, byte
+  // value = plane-constant fill (luma sums stay closed-form)
+  private def buildY4m(headerTags: String, w: Int, h: Int, nf: Int, planesPerFrame: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$w H$h $headerTags\n".getBytes("US-ASCII"))
+    for (f <- 0 until nf) {
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      for (pl <- 0 until planesPerFrame; _ <- 0 until w * h) out.write((f + pl) & 0xff)
+    }
+    out.toByteArray
+  }
+
+  test("parseY4m: malformed headers return None instead of throwing (untrusted W/H, truncated payloads)") {
+    // w*h overflows Int (46341^2 > Int.MaxValue): must be rejected, not allocated
+    val overflow = "YUV4MPEG2 W46342 H46342 F25:1 C444\n FRAME\n".getBytes("US-ASCII")
+    assert(Multimodal.parseY4m(overflow, 4).isEmpty)
+    // plausible dims but payload far too small for one frame
+    val truncated = "YUV4MPEG2 W1920 H1080 F25:1 C444\nFRAME\nxx".getBytes("US-ASCII")
+    assert(Multimodal.parseY4m(truncated, 4).isEmpty)
+    // absurd allocation demand from a tiny buffer (w*h = 10^10)
+    val huge = "YUV4MPEG2 W100000 H100000 F25:1 C444\nFRAME\n".getBytes("US-ASCII")
+    assert(Multimodal.parseY4m(huge, 4).isEmpty)
+    // zero/negative/missing rate fields
+    assert(Multimodal.parseY4m("YUV4MPEG2 W2 H2 F25:0 C444\nFRAME\n".getBytes("US-ASCII"), 4).isEmpty)
+    // a well-formed tiny 444 stream still parses (3 planes per frame)
+    val ok = buildY4m("F25:1 C444", 2, 2, 3, planesPerFrame = 3)
+    val parsed = Multimodal.parseY4m(ok, 4)
+    assert(parsed.nonEmpty && parsed.get.nFrames == 3)
+    assert(parsed.get.frameLumaSums.toSeq == Seq(0L, 4L, 8L), "luma = first plane, fill value f")
+  }
+
+  test("sampleFrames strides by the exact rational frame rate (NTSC 30000:1001)") {
+    val ntsc = buildY4m("F30000:1001 C444", 2, 2, 61, planesPerFrame = 3)
+    val media = Seq((1L, "video", ntsc)).toDF("media_id", "modality", "bytes")
+    val kept = Multimodal
+      .sampleFrames(media, everyMs = 2000L)
+      .select("frame_idx")
+      .as[Long]
+      .collect()
+      .sorted
+      .toSeq
+    // stride = 2000*30000/(1000*1001) = 59 (integer fps would truncate to 29
+    // and stride 58); frames 0 and 59 survive from 61
+    assert(kept == Seq(0L, 59L))
+  }
 }
