@@ -13,6 +13,7 @@ import org.apache.spark.sql.functions._
   *   graft.Main --gen 10000 --work /tmp/graft-work [--threshold 0.7]
   *              [--shingle-k 1] [--group-col lang] [--cpus 8]
   *              [--topn 3] [--substring true] [--stream 2000]
+  *              [--collapse-versions true] [--vendored-min-repos 8]
   *   graft.Main --input /data/files.parquet --work /data/graft-work
   *
   * `--stream M` additionally replays a deterministic ingest stream of M new
@@ -47,7 +48,9 @@ object Main {
       shingleK = opts.getOrElse("--shingle-k", "1").toInt,
       threshold = opts.getOrElse("--threshold", "0.7").toDouble,
       topN = opts.get("--topn").map(_.toInt),
-      substringDedup = opts.get("--substring").exists(_.toBoolean)
+      substringDedup = opts.get("--substring").exists(_.toBoolean),
+      collapseVersions = opts.get("--collapse-versions").exists(_.toBoolean),
+      vendoredMinRepos = opts.get("--vendored-min-repos").map(_.toLong).getOrElse(0L)
     )
 
     val input = opts.get("--input") match {

@@ -49,6 +49,20 @@ final case class Config(
     maxBucket: Int = 2000,
     topN: Option[Int] = None,
     substringDedup: Boolean = false,
+    // corpus-prep pre-stages for a VERSIONED crawl (off by default — the
+    // reference corpus is one immutable snapshot):
+    //  - collapseVersions: keep only the newest version of each (repo, path)
+    //    before tokenization ([[graft.ops.CorpusPrep.latestVersion]], newest
+    //    = greatest `versionOrderCol`); a raw crawl otherwise spends its
+    //    candidate budget "discovering" that v1..vN of one file are similar.
+    //  - vendoredMinRepos (> 0 enables): content byte-identical across at
+    //    least this many DISTINCT repos (licenses, vendored deps) is routed
+    //    AROUND LSH — its exact-dup class still collapses, clusters and
+    //    emits sim=1.0 pairs, but its representative generates no near-dup
+    //    candidates against the rest of the corpus.
+    collapseVersions: Boolean = false,
+    versionOrderCol: String = "commit",
+    vendoredMinRepos: Long = 0L,
     seed: Long = 42L,
     // vocabularies up to this size encode via the broadcast CompactDict;
     // beyond it the shuffle-join plan takes over (see Vocabulary.encode).
@@ -73,10 +87,14 @@ final case class Config(
     * evidence leg) and `topN`/`substringDedup` (gate optional stages whose
     * sigs append their own knobs in [[Pipeline.run]]). */
   def stageFingerprints: Map[String, String] = {
-    val docs = s"groupCols=${groupCols.mkString(",")};shingleK=$shingleK"
+    // corpus-prep knobs append only when ENABLED, so every pre-existing
+    // default-config work dir keeps its stored sigs (no spurious rebuilds)
+    val docs = s"groupCols=${groupCols.mkString(",")};shingleK=$shingleK" +
+      (if (collapseVersions) s";collapseVersions=$versionOrderCol" else "")
     val vocab = docs + s";minDf=$minDf"
     val encoded = vocab // dense ids over the vocab applied to docs tokens
-    val signatures = encoded + s";numPerms=$numPerms;seed=$seed;maxDf=$maxDf"
+    val signatures = encoded + s";numPerms=$numPerms;seed=$seed;maxDf=$maxDf" +
+      (if (vendoredMinRepos > 0) s";vendoredMinRepos=$vendoredMinRepos" else "")
     val candidates = signatures + s";bands=$bands;maxBucket=$maxBucket"
     val pairs = candidates + s";threshold=$threshold"
     Map(

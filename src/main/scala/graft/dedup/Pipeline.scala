@@ -8,10 +8,15 @@ import org.apache.spark.sql.functions._
   *
   * Stage graph (each stage = one resumable checkpoint, [[Checkpoints]]):
   *
-  *   docs        tokenize + filter + dense doc ids + sha256 lineage
+  *   docs        [optional: newest-version-per-(repo,path) collapse —
+  *               cfg.collapseVersions] tokenize + filter + dense doc ids +
+  *               sha256 lineage
   *   vocab       global document-frequency dictionary, min-df prune
   *   encoded     sorted-int-array document sets
-  *   signatures  MinHash-128 + SimHash-64 per doc (one pass, batched)
+  *   signatures  MinHash-128 + SimHash-64 per doc (one pass, batched);
+  *               [optional: vendored content — byte-identical across >=
+  *               cfg.vendoredMinRepos repos — is excluded, so it never
+  *               generates near-dup candidates]
   *   candidates  LSH band pairs  UNION  SimHash block pairs — computed on
   *               one representative per (group, content_sha) so exact-dup
   *               classes of any size cannot create hot LSH buckets
@@ -61,6 +66,12 @@ object Pipeline {
 
   /** Stage 1 logic (no checkpoint): tokenize + ids + lineage.
     *
+    * With `cfg.collapseVersions`, a versioned-crawl pre-step runs FIRST
+    * ([[graft.ops.CorpusPrep.latestVersion]]): only the newest version of
+    * each (repo, path) — greatest `cfg.versionOrderCol`, commit asc tie —
+    * is tokenized; historical versions never reach LSH (the window runs on
+    * the skinny key+order columns before the heavy per-row CPU).
+    *
     * Order matters for scale: sha256 / byte-count / tokenize run FIRST and
     * `content` is dropped, so the id-assignment join (the one shuffle the
     * corpus pays here) moves token arrays instead of raw text, and the
@@ -73,7 +84,14 @@ object Pipeline {
       cfg: Config,
       reg: CacheRegistry = CacheRegistry.unmanaged
   ): DataFrame = {
-    val derived = input
+    val source =
+      if (!cfg.collapseVersions) input
+      else
+        graft.ops.CorpusPrep
+          .latestVersion(input, "repo", "path", cfg.versionOrderCol, tieCol = "commit")
+          .filter(col("keep"))
+          .drop("keep")
+    val derived = source
       .withColumn("content_sha", sha2(col("content"), 256))
       .withColumn("n_bytes", octet_length(col("content")))
       .withColumn("tokens", Tokenize.tokenSet(col("content"), cfg.shingleK))
@@ -207,7 +225,29 @@ object Pipeline {
       // recall is unaffected (cap applies to signatures only; parity suite).
       val nDocs = Checkpoints.stageRowCount(spark, p("docs"))
       val hot = Vocabulary.hotTokenIds(vocab, nDocs, cfg)
-      val reps = classMap.filter(col("doc_id") === col("rep_id")).select("doc_id")
+      val reps0 = classMap.filter(col("doc_id") === col("rep_id")).select("doc_id")
+      // Vendored routing (cfg.vendoredMinRepos > 0): content byte-identical
+      // across >= minRepos DISTINCT repos is boilerplate, not signal — its
+      // reps are excluded from signatures, so it generates NO near-dup
+      // candidates against the corpus. Its exact-dup class still collapses,
+      // expands to sim=1.0 pairs and clusters (expandExactClasses /
+      // assignAll read classMap, not signatures). Distinct-(sha, repo)-first
+      // keeps the aggregate copy-skew-proof ([[graft.ops.CorpusPrep]]); the
+      // surviving sha list is skinny (AQE broadcasts it).
+      val reps =
+        if (cfg.vendoredMinRepos <= 0L) reps0
+        else {
+          val vendoredDocIds = docs
+            .select(col("content_sha"), col("repo"))
+            .distinct()
+            .groupBy("content_sha")
+            .agg(count(lit(1)).as("n_repos"))
+            .filter(col("n_repos") >= cfg.vendoredMinRepos)
+            .select("content_sha")
+            .join(docs.select("doc_id", "content_sha"), "content_sha")
+            .select("doc_id")
+          reps0.join(vendoredDocIds, Seq("doc_id"), "left_anti")
+        }
       val sigInput = encoded
         // build on the skinny id side — SMJ would sort the wide token table
         .join(reps.hint("shuffle_hash"), "doc_id")

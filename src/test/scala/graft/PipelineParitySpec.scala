@@ -249,6 +249,72 @@ class PipelineParitySpec extends SparkSpec {
     assert(clusters.length == 1, s"class must land in ONE cluster, got ${clusters.length}")
   }
 
+  test("collapseVersions: only the newest version per (repo, path) is clustered") {
+    val base = CorpusGen.corpusLocal(100)
+    // 3-commit history per file: two stale versions with perturbed content
+    val versioned = base.flatMap { f =>
+      Seq(
+        f.copy(commit = "c1", content = f.content + " stalemarker1 xyz1"),
+        f.copy(commit = "c2", content = f.content + " stalemarker2"),
+        f.copy(commit = "c3")
+      )
+    }
+    val t = Pipeline.run(
+      spark,
+      spark.createDataFrame(versioned),
+      cfg.copy(collapseVersions = true),
+      tmpDir("graft-versions")
+    )
+    val docs = t.docs.select("repo", "path", "commit").collect()
+    assert(docs.length == base.length, "one doc per (repo, path)")
+    assert(docs.forall(_.getString(2) == "c3"), "the greatest commit wins")
+    // byte-identical output to a plain run over the manually-filtered latest
+    // rows (same keys -> same dense ids)
+    val plain = Pipeline.run(
+      spark,
+      spark.createDataFrame(base.map(_.copy(commit = "c3"))),
+      cfg,
+      tmpDir("graft-versions-plain")
+    )
+    assert(pairsOf(t.pairs) == pairsOf(plain.pairs))
+  }
+
+  test("vendoredMinRepos: vendored content skips LSH but keeps its exact class clustered") {
+    val license = (0 until 120).map(k => s"lic$k term$k").mkString(" ")
+    val nearContent = license.split(' ').drop(12).mkString(" ") // Jaccard 228/240 = 0.95
+    val vendored = (0 until 12).map(r => CodeFile(f"repo$r%02d", "LICENSE.txt", "c0", "scala", license))
+    val near = CodeFile("repo99", "LICENSE-mod.txt", "c0", "scala", nearContent)
+    val fill = CorpusGen.corpusLocal(80)
+    val input = spark.createDataFrame((vendored :+ near) ++ fill)
+
+    def idsOf(t: Pipeline.Tables, path: String): Set[Long] =
+      t.docs.filter(col("path") === path).select("doc_id").as[Long].collect().toSet
+
+    val off = Pipeline.run(spark, input, cfg, tmpDir("graft-vend-off"))
+    val vOff = idsOf(off, "LICENSE.txt"); val nOff = idsOf(off, "LICENSE-mod.txt")
+    def crossPairs(t: Pipeline.Tables, xs: Set[Long], ys: Set[Long]): Long =
+      t.pairs.filter(
+        (col("a").isin(xs.toSeq: _*) && col("b").isin(ys.toSeq: _*)) ||
+          (col("a").isin(ys.toSeq: _*) && col("b").isin(xs.toSeq: _*))
+      ).count()
+    assert(crossPairs(off, vOff, nOff) > 0, "without routing, the near-dup pairs with the license class")
+
+    val on = Pipeline.run(spark, input, cfg.copy(vendoredMinRepos = 8L), tmpDir("graft-vend-on"))
+    val v = idsOf(on, "LICENSE.txt"); val n = idsOf(on, "LICENSE-mod.txt")
+    assert(v.size == 12 && n.size == 1)
+    assert(crossPairs(on, v, n) == 0, "vendored reps must generate no near-dup candidates")
+    // the exact class itself still collapses, pairs at sim=1.0 and clusters
+    val intra = on.pairs
+      .filter(col("a").isin(v.toSeq: _*) && col("b").isin(v.toSeq: _*))
+      .select("sim").as[Double].collect()
+    assert(intra.length == 12 * 11 / 2 && intra.forall(_ == 1.0))
+    val vClusters = on.components
+      .filter(col("doc_id").isin(v.toSeq: _*))
+      .select("cluster_id").distinct().count()
+    assert(vClusters == 1, "vendored class stays one cluster")
+    assert(on.components.count() == on.docs.count(), "every doc keeps a component row")
+  }
+
   test("stage metrics sidecars exist with per-partition rows") {
     val files = CorpusGen.corpusLocal(100)
     val input = spark.createDataFrame(files)
