@@ -45,7 +45,7 @@ object Bench {
     // shuffle partitions default to a multiple of cores so sort/agg tasks at
     // low parallelism stay small (one giant per-core sort spills super-
     // linearly and flatters the high-core leg); multiplier tunable for
-    // ScaleProbe experiments
+    // Probe-scale experiments
     val mult = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_MULT", "1").toInt
     val b = SparkSession
       .builder()
@@ -326,7 +326,7 @@ object Bench {
     // assert its emitted pair set is bitwise-identical to the broadcast
     // path's, reporting its throughput next to it. MEDIAN of `rounds`
     // local[8] legs — the round-4 single-shot leg swung 11.8k-16.2k files/s
-    // across same-code runs and misread as a regression (the EncodeProbe
+    // across same-code runs and misread as a regression (the Probe-encode
     // re-measurement put the plan's real cost at ~16.7k median-of-3, with
     // the entire delta vs broadcast confined to the encoded stage).
     val joinLegs = (1 to rounds).map { i =>
@@ -436,7 +436,7 @@ object Bench {
          #|---|---|---|---|
          #$stageRows
          #
-         #On the vocab stage's sub-4x ratio (profiled with VProbe, round 5):
+         #On the vocab stage's sub-4x ratio (profiled with Probe vocab, round 5):
          #the stage is the explode + partial-hash-aggregate over the token
          #universe (the id stamp, count job and parquet write total ~1.4 s
          #flat). Partial aggregation over a HIGH-CARDINALITY key does more
