@@ -63,6 +63,20 @@ object SparkEntry {
     sharedReg.release()
   }
 
+  /** Build + materialize EVERY memoized cross-query intermediate (encoded
+    * corpus, LSH-verified pairs, exact pairs, winnow candidates) in one
+    * call, so a benchmark can attribute shared-chain construction to a
+    * labeled SETUP step instead of whichever family member happens to run
+    * first (round 5: q22 wore the encode build, q25's spread was the
+    * verified-chain cold start). */
+  def warmSharedCaches(s: SparkSession, dir: String): Unit = {
+    encCached(s, dir)
+    lshVerifiedCached(s, dir)
+    exactPairsCached(s, dir)
+    winnowCandCached(s, dir)
+    releaseTransientCaches()
+  }
+
   /** Memo with stopped-session hygiene: entries of dead sessions are dropped
     * (their cached blocks died with the session's BlockManager). */
   private def memo(
