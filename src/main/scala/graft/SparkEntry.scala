@@ -2,7 +2,8 @@ package graft
 
 import scala.collection.concurrent.TrieMap
 
-import graft.dedup.{CacheRegistry, Components, Config, Ids, IntersectCountSorted, Jaccard, MinHash, SimHash, Stopwords, Tokenize, Vocabulary}
+import graft.dedup.{CacheRegistry, Components, Config, Ids, IntersectCountSorted, Jaccard, MinHash, Par, SimHash, Stopwords, Tokenize, Vocabulary}
+import graft.dedup.Par.spread
 import graft.ops.{CorpusPrep, Multimodal, ShardPack, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -48,10 +49,17 @@ object SparkEntry {
     ThreadLocal.withInitial(() => new CacheRegistry)
   private def transientReg: CacheRegistry = transientRegs.get()
   private val sharedReg = new CacheRegistry
-  private val encMemo = TrieMap.empty[(SparkSession, String), DataFrame]
+  // (enc, vocab, vocabRows): the encode chain memoizes its vocabulary (and
+  // the count the encode-plan choice needs) alongside the encoded corpus, so
+  // the q12/q13-family consumers reuse it instead of re-tokenizing the
+  // corpus to rebuild the identical (token, df) table (round-7: the setup
+  // phase ran the regex tokenizer twice and the string-keyed dense-id rank
+  // once per rep for no new information).
+  private val encBundleMemo = TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame, Long)]
   private val lshPairsMemo = TrieMap.empty[(SparkSession, String), DataFrame]
   private val exactPairsMemo = TrieMap.empty[(SparkSession, String), DataFrame]
   private val winnowCandMemo = TrieMap.empty[(SparkSession, String), DataFrame]
+  private val componentsMemo = TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** Unpersist the CALLING THREAD's per-query scaffolding caches. Call after
     * each query's action, from the thread that built and materialized it. */
@@ -59,31 +67,33 @@ object SparkEntry {
 
   /** Unpersist + forget the memoized cross-query intermediates. */
   def releaseSharedCaches(): Unit = {
-    encMemo.clear(); lshPairsMemo.clear(); exactPairsMemo.clear(); winnowCandMemo.clear()
+    encBundleMemo.clear(); lshPairsMemo.clear(); exactPairsMemo.clear()
+    winnowCandMemo.clear(); componentsMemo.clear()
     sharedReg.release()
   }
 
   /** Build + materialize EVERY memoized cross-query intermediate (encoded
-    * corpus, LSH-verified pairs, exact pairs, winnow candidates) in one
-    * call, so a benchmark can attribute shared-chain construction to a
-    * labeled SETUP step instead of whichever family member happens to run
-    * first (round 5: q22 wore the encode build, q25's spread was the
-    * verified-chain cold start). */
+    * corpus + vocabulary, LSH-verified pairs, exact pairs, winnow
+    * candidates, component assignment) in one call, so a benchmark can
+    * attribute shared-chain construction to a labeled SETUP step instead of
+    * whichever family member happens to run first (round 5: q22 wore the
+    * encode build, q25's spread was the verified-chain cold start). */
   def warmSharedCaches(s: SparkSession, dir: String): Unit = {
     encCached(s, dir)
     lshVerifiedCached(s, dir)
     exactPairsCached(s, dir)
     winnowCandCached(s, dir)
+    componentsCached(s, dir)
     releaseTransientCaches()
   }
 
   /** Memo with stopped-session hygiene: entries of dead sessions are dropped
     * (their cached blocks died with the session's BlockManager). */
-  private def memo(
-      m: TrieMap[(SparkSession, String), DataFrame],
+  private def memo[T](
+      m: TrieMap[(SparkSession, String), T],
       s: SparkSession,
       dir: String
-  )(build: => DataFrame): DataFrame = m.synchronized {
+  )(build: => T): T = m.synchronized {
     // synchronized: TrieMap.getOrElseUpdate may evaluate `build` in two
     // racing threads and discard one result — but a discarded build here has
     // already persisted + materialized its copy (shared()), doubling memory
@@ -108,16 +118,11 @@ object SparkEntry {
 
   // ---- shared building blocks over documents(doc_id, text, lang, ...) ----
 
-  /** Reference-semantics tokens per doc: (doc_id, lang, token), distinct. */
+  /** Reference-semantics tokens per doc: (doc_id, lang, token), distinct.
+    * The input is spread to cluster parallelism first — the regex tokenizer
+    * is the cost, and a byte-small documents scan is otherwise one task. */
   private def refTokens(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("lang"), explode(Tokenize.tokenSet(col("text"))).as("token"))
-
-  /** Tokens after the reference's min-df >= 2 vocabulary prune. */
-  private def prunedTokens(docs: DataFrame): DataFrame = {
-    val tok = refTokens(docs)
-    val voc = tok.groupBy("token").agg(count(lit(1)).as("df")).filter(col("df") >= 2)
-    tok.join(voc.select("token"), "token")
-  }
+    spread(docs).select(col("doc_id"), col("lang"), explode(Tokenize.tokenSet(col("text"))).as("token"))
 
   /** Within-lang exact Jaccard pairs over pruned tokens:
     * (lang, a, b, inter_cnt, union_cnt, sim) with sim >= minSim. */
@@ -157,7 +162,8 @@ object SparkEntry {
     // and the exploded token table is consumed three times (df aggregate,
     // rank-input materialization, set-build join) — uncached it re-runs the
     // tokenizer per consumer. Released per query via releaseTransientCaches.
-    val tok = transientReg.persist(docs.select(
+    // spread: the tokenizer runs at cluster parallelism, not scan-split count.
+    val tok = transientReg.persist(spread(docs).select(
       (col("doc_id") +: kc) :+ explode(Tokenize.tokenSet(col("text"))).as("token"): _*
     ))
     val voc = tok.groupBy("token").agg(count(lit(1)).as("df")).filter(col("df") >= 2)
@@ -220,6 +226,26 @@ object SparkEntry {
       .groupBy(col("doc_id") +: kc: _*)
       .agg(sort_array(collect_list(col("eid"))).as("ts"))
       .withColumn("n", size(col("ts"))))
+    // SINGLETON elision (see prefixVerifyFromSets): under the rare-first
+    // ranking, df=1 elements occupy exactly the id range [0, nSingletons) —
+    // one tiny job over the cached skinny ranking.
+    val nSingletons = ranked.filter(col("df") < 2).count()
+    prefixVerifyFromSets(sets, nSingletons, minSim, keys)
+  }
+
+  /** PPJoin tail over pre-built per-doc sets: `sets` must carry
+    * (doc_id, keys..., ts: sorted array<int> of rare-first element ids,
+    * n: int size) and be PERSISTED by the caller (both prefix sides and
+    * both verify sides scan it). `nSingletons` = number of df=1 element ids
+    * (the contiguous low range under the rare-first order) to elide from
+    * the candidate join — 0 for min-df-pruned universes. */
+  private def prefixVerifyFromSets(
+      sets: DataFrame,
+      nSingletons: Long,
+      minSim: Double,
+      keys: Seq[String]
+  ): DataFrame = {
+    val kc = keys.map(col)
     // a = ceil(t*n) via ceil(t*n - 1e-9): the epsilon keeps an exact-integer
     // t*n from rounding UP on binary error (e.g. 0.2*5 -> 1.0000000000000002),
     // which would shorten the prefix and silently drop true pairs; a too-LONG
@@ -242,8 +268,7 @@ object SparkEntry {
     // so sims are untouched) removes most of the exchange volume when the
     // element universe is unpruned (q16's 3-gram space is singleton-
     // dominated); for min-df-pruned callers nSingletons = 0 and this is a
-    // no-op. One tiny job over the cached skinny ranking.
-    val nSingletons = ranked.filter(col("df") < 2).count()
+    // no-op.
     val pref = sets
       .select(
         kc ++ Seq(col("doc_id"), col("n"), posexplode(slice(col("ts"), lit(1), prefLen)).as(Seq("p", "eid"))): _*
@@ -275,30 +300,50 @@ object SparkEntry {
       .select(kc ++ Seq(col("a"), col("b"), col("inter_cnt"), col("union_cnt"), col("sim")): _*)
   }
 
-  /** The documents table re-shaped as the dedup engine's encoded corpus. */
-  private def docsEncoded(docs: DataFrame, cfg: Config): DataFrame = {
-    val base = docs.select(
-      col("doc_id"),
-      col("lang").as("group"),
-      Tokenize.tokenSet(col("text"), cfg.shingleK).as("tokens")
-    ).filter(size(col("tokens")) > 0)
-    val vocab = Vocabulary.build(base, cfg, transientReg)
-    Vocabulary.encode(base, vocab)
-  }
+  /** Memoized (encoded corpus, vocabulary, vocabRows) at [[oracleLshCfg]].
+    *
+    * The detector family (q22/q23/q24/q25) consumes the encoded table 3-4x
+    * each (signatures, both verify sides, assignAll's doc set) — without the
+    * cache the whole tokenize+vocab+encode chain re-runs per consumer (the
+    * round-2 q25 regression). The VOCABULARY is memoized alongside because
+    * q12 and the exact-pair chain need exactly this (token, df >= minDf)
+    * table — previously each re-tokenized the corpus to rebuild it (two full
+    * regex passes per bench rep, guide §2.4: don't recompute what a sibling
+    * chain already has). The tokenized base is transient-persisted so the
+    * tokenizer runs ONCE per build (vocab aggregate + encode both scan it),
+    * and the vocab row count captured here feeds the encode-plan choice
+    * without its own count job. Persisted + materialized once per
+    * (session, dir). */
+  private def encBundle(s: SparkSession, dir: String): (DataFrame, DataFrame, Long) =
+    memo(encBundleMemo, s, dir) {
+      val cfg = oracleLshCfg
+      val base = transientReg.persist(
+        spread(t(s, dir, "documents")).select(
+          col("doc_id"),
+          col("lang").as("group"),
+          Tokenize.tokenSet(col("text"), cfg.shingleK).as("tokens")
+        ).filter(size(col("tokens")) > 0)
+      )
+      val vocab = sharedReg.persist(Vocabulary.build(base, cfg, transientReg))
+      val vocabRows = vocab.count()
+      val enc = shared(Vocabulary.encode(base, vocab, vocabRows = Some(vocabRows)))
+      (enc, vocab, vocabRows)
+    }
 
-  /** Memoized encoded corpus at [[oracleLshCfg]]: the detector family
-    * (q23/q24/q25) consumes the encoded table 3-4x each (signatures, both
-    * verify sides, assignAll's doc set) — without the cache the whole
-    * tokenize+vocab+encode chain re-runs per consumer (the round-2 q25
-    * regression). Persisted + materialized once per (session, dir). */
-  private def encCached(s: SparkSession, dir: String): DataFrame =
-    memo(encMemo, s, dir)(shared(docsEncoded(t(s, dir, "documents"), oracleLshCfg)))
+  private[graft] def encCached(s: SparkSession, dir: String): DataFrame =
+    encBundle(s, dir)._1
+
+  /** Memoized vocabulary (token, df, token_id) + its row count. */
+  private[graft] def vocabCached(s: SparkSession, dir: String): (DataFrame, Long) = {
+    val b = encBundle(s, dir)
+    (b._2, b._3)
+  }
 
   /** Memoized MinHash-LSH verified pair table at [[oracleLshCfg]] — shared
     * by q23 (projection) and q25 (components input), so the signatures →
     * candidates → verify chain runs ONCE per (session, dir) instead of per
     * query (the round-4 q25 regression: each family member rebuilt it). */
-  private def lshVerifiedCached(s: SparkSession, dir: String): DataFrame =
+  private[graft] def lshVerifiedCached(s: SparkSession, dir: String): DataFrame =
     memo(lshPairsMemo, s, dir) {
       val cfg = oracleLshCfg
       val enc = encCached(s, dir)
@@ -312,23 +357,85 @@ object SparkEntry {
 
   /** Memoized exact within-lang Jaccard pair table at threshold 0.5 — the
     * q13/q14/q34/q34b/q35 family all rank or filter this one table; round 4
-    * re-ran the full PPJoin per query (~3-7 s each). */
-  private def exactPairsCached(s: SparkSession, dir: String): DataFrame =
-    memo(exactPairsMemo, s, dir)(shared(docPairs(t(s, dir, "documents"), 0.5)))
+    * re-ran the full PPJoin per query (~3-7 s each).
+    *
+    * Built FROM THE MEMOIZED ENCODED CORPUS, not by re-tokenizing the
+    * documents table: the encode already holds each doc's min-df-pruned
+    * token set as a sorted int array, so the per-doc PPJoin sets are a
+    * NARROW map-side remap of those ids into rare-first order (broadcast
+    * int[] lookup + sort) — this removes the second tokenizer pass, the
+    * string-keyed dense-id rank over the token universe, and the
+    * explode + dictionary join + collect_list re-group shuffle the old
+    * chain paid per rep (guide §2.3/§2.4: the heavy rows already exist in
+    * the right shape one cache over). Jaccard counts are invariant under
+    * the id bijection, so the emitted (lang, a, b, inter_cnt, union_cnt,
+    * sim) rows are bitwise-identical to the old plan's (oracle q13).
+    * Vocabularies beyond the broadcast cap fall back to the original
+    * string-keyed chain (the remap array must fit one executor). */
+  private[graft] def exactPairsCached(s: SparkSession, dir: String): DataFrame =
+    memo(exactPairsMemo, s, dir) {
+      val (vocab, vocabRows) = vocabCached(s, dir)
+      if (vocabRows <= oracleLshCfg.broadcastMaxVocab) {
+        val enc = encCached(s, dir)
+        // rare-first eids: rank the dense token ids by (df, token_id). The
+        // token ids are assigned in token-ascending order, so (df, token_id)
+        // is the same total order as the old (df, token) string rank.
+        val ranked =
+          Ids.assignDense(vocab.select(col("token_id"), col("df")), Seq("df", "token_id"), "eid", transientReg)
+        val remap = new Array[Int](vocabRows.toInt)
+        ranked
+          .select(col("token_id").cast("int"), col("eid").cast("int"))
+          .collect()
+          .foreach(r => remap(r.getInt(0)) = r.getInt(1))
+        val bRemap = s.sparkContext.broadcast(remap)
+        val remapUdf = udf { (tokens: Seq[Int]) =>
+          val m = bRemap.value
+          val out = new Array[Int](tokens.length)
+          var i = 0
+          tokens.foreach { tid => out(i) = m(tid); i += 1 }
+          java.util.Arrays.sort(out)
+          out
+        }
+        // persisted: the set table is the hub — both prefix sides and both
+        // verify sides scan it (see prefixVerifyFromSets)
+        val sets = transientReg.persist(
+          enc.select(
+            col("doc_id"),
+            col("group").as("lang"),
+            remapUdf(col("tokens")).as("ts"),
+            col("n_tokens").as("n")
+          )
+        )
+        // min-df-pruned universe: no singletons by construction
+        shared(prefixVerifyFromSets(sets, nSingletons = 0L, 0.5, Seq("lang")))
+      } else shared(docPairs(t(s, dir, "documents"), 0.5))
+    }
 
   private val q31Cfg = graft.dedup.SuffixDedup.SubConfig(k = 16, window = 5, minMatch = 20)
 
   /** Memoized winnow candidate pairs at [[q31Cfg]] — q31a projects them and
     * q31b's suffix-automaton verify consumes them; without the memo each
     * query rebuilt the fingerprint -> df-cap -> bucket-pair chain. */
-  private def winnowCandCached(s: SparkSession, dir: String): DataFrame =
+  private[graft] def winnowCandCached(s: SparkSession, dir: String): DataFrame =
     memo(winnowCandMemo, s, dir)(shared(
       graft.dedup.SuffixDedup.candidatePairs(
-        t(s, dir, "documents").select(col("doc_id"), col("lang").as("group"), col("text").as("content")),
+        // spread: the rolling-hash + winnow kernel runs at cluster
+        // parallelism, not scan-split count (one task on a sub-MB file)
+        spread(t(s, dir, "documents"))
+          .select(col("doc_id"), col("lang").as("group"), col("text").as("content")),
         q31Cfg,
         transientReg
       )
     ))
+
+  /** Memoized component assignment over the full corpus — q25 emits it and
+    * q42's survivorship window consumes it; without the memo each query
+    * re-ran the identical connected-components pass (distinct + collect +
+    * union-find + relabel join) on the same memoized pair table. */
+  private[graft] def componentsCached(s: SparkSession, dir: String): DataFrame =
+    memo(componentsMemo, s, dir)(
+      shared(Components.assignAll(encCached(s, dir), lshVerifiedCached(s, dir)))
+    )
 
   private val tokFilterSql =
     s"""length(token) > 1 AND NOT regexp_matches(token, '^[0-9]+$$')
@@ -557,11 +664,9 @@ object SparkEntry {
 
     // ---- reference tokenizer / vocabulary (O1-O4, A1-A2) ----
     "q11_tokenize" -> ((s, dir) => refTokens(t(s, dir, "documents")).select("doc_id", "token")),
-    "q12_vocab_df" -> ((s, dir) =>
-      refTokens(t(s, dir, "documents"))
-        .groupBy("token")
-        .agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2)),
+    // the memoized vocabulary IS this table: (token, df) over per-doc-distinct
+    // tokens, min-df 2 (Vocabulary.build == refTokens + groupBy + HAVING)
+    "q12_vocab_df" -> ((s, dir) => vocabCached(s, dir)._1.select("token", "df")),
 
     // ---- the similarity core (J3): within-group exact Jaccard pairs ----
     "q13_doc_pairs" -> ((s, dir) => exactPairsCached(s, dir)),
@@ -579,23 +684,31 @@ object SparkEntry {
       // KEPT with sim NULL + missing=1 — the reference records pairs whose
       // doc id is absent from the index instead of dropping them
       // (code/main_citation_pair.py:299-346).
+      //
+      // Runs over the MEMOIZED ENCODED CORPUS: a doc's pruned token set is
+      // its encoded sorted-int array (enc keeps exactly the df >= 2
+      // survivors and drops emptied docs), so the probe is two skinny joins
+      // + the codegen'd sorted-intersection kernel — the old plan
+      // re-tokenized the corpus and shuffled an exploded token join +
+      // aggregate per probe set (round-7 before-plan: 32 Exchanges). Counts
+      // are invariant under the token<->id bijection, so sims are bitwise
+      // identical.
       val d = t(s, dir, "documents").select("doc_id")
-      val pt = prunedTokens(t(s, dir, "documents"))
-      val sz = pt.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val enc = encCached(s, dir)
       val probes = d
         .select(col("doc_id").as("a"))
         .join(d.select((col("doc_id") - 7).as("a")), Seq("a"), "left_semi")
-      val inter = pt
-        .select(col("doc_id").as("a"), col("token"))
-        .join(pt.select((col("doc_id") - 7).as("a"), col("token")), Seq("a", "token"))
-        .groupBy("a")
-        .agg(count(lit(1)).as("inter_cnt"))
+      val ea = enc.select(col("doc_id").as("a"), col("tokens").as("ts_a"), col("n_tokens").as("na"))
+      val eb = enc.select((col("doc_id") - 7).as("a"), col("tokens").as("ts_b"), col("n_tokens").as("nb"))
       probes
-        .join(sz.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"), "left")
-        .join(sz.select((col("doc_id") - 7).as("a"), col("n").as("nb")), Seq("a"), "left")
-        .join(inter, Seq("a"), "left")
-        .withColumn("inter_cnt", coalesce(col("inter_cnt"), lit(0L)))
+        .join(ea, Seq("a"), "left")
+        .join(eb, Seq("a"), "left")
         .withColumn("missing", (col("na").isNull || col("nb").isNull).cast("int"))
+        .withColumn(
+          "inter_cnt",
+          when(col("missing") === 1, lit(0L))
+            .otherwise(IntersectCountSorted(col("ts_a"), col("ts_b")).cast("long"))
+        )
         .select(
           col("a"),
           (col("a") + 7).as("b"),
@@ -621,7 +734,8 @@ object SparkEntry {
       // kernel replaced the round-4 regexp + interpreted higher-order
       // transform + array_distinct chain (its first materialization was
       // ~7.5 s of the query's ~6 s median at sf0.1).
-      val grams = transientReg.persist(d
+      // spread: the gram kernel runs at cluster parallelism, not scan count
+      val grams = transientReg.persist(spread(d)
         .select(
           col("doc_id"),
           col("lang"),
@@ -689,8 +803,7 @@ object SparkEntry {
         .verifyCounts(SimHash.candidatePairs(sigs, cfg), enc, cfg.threshold)
         .withColumnRenamed("group", "lang")
     }),
-    "q25_components" -> ((s, dir) =>
-      Components.assignAll(encCached(s, dir), lshVerifiedCached(s, dir))),
+    "q25_components" -> ((s, dir) => componentsCached(s, dir)),
     // Incremental components maintenance (the 10^12-file ingest path): docs
     // with doc_id % 11 == 0 "arrive later" — cluster the base corpus first,
     // then fold the late docs' pairs in via Components.merge. The oracle is
@@ -716,7 +829,7 @@ object SparkEntry {
     // oracle recomputes clustering (q25's recursive CTE) + the same window.
     "q42_cluster_representatives" -> ((s, dir) =>
       Components.representatives(
-        Components.assignAll(encCached(s, dir), lshVerifiedCached(s, dir)),
+        componentsCached(s, dir),
         t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
         "n_chars"
       )),
@@ -873,7 +986,9 @@ object SparkEntry {
     // closed-form). n_bytes is nulled for images only: a PNG's DEFLATE
     // size has no ANSI-SQL form.
     "q26_multimodal_features" -> ((s, dir) => {
-      val media = Multimodal.synthesize(t(s, dir, "documents"))
+      // spread: PNG/WAV/y4m synth + decode is pure per-row CPU; one task on
+      // a sub-MB scan serializes it (round-7 before-plan: 0 Exchanges)
+      val media = Multimodal.synthesize(spread(t(s, dir, "documents")))
       Multimodal
         .extractFeatures(media)
         .select(
@@ -900,7 +1015,7 @@ object SparkEntry {
     "q27_frame_sample" -> ((s, dir) =>
       // everyMs=80 here (every 2nd frame at the synth 25 fps streams), not
       // the API default 1000 — the oracle below encodes this stride
-      Multimodal.sampleFrames(Multimodal.synthesize(t(s, dir, "documents")), everyMs = 80L)),
+      Multimodal.sampleFrames(Multimodal.synthesize(spread(t(s, dir, "documents"))), everyMs = 80L)),
     // The winnowing CANDIDATE stage of the substring detector, split out
     // because it IS oracle-able: fingerprints are a pure function of
     // (text, k, window) (rolling polynomial hash mod 2^61-1, windowed min,

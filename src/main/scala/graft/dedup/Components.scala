@@ -135,10 +135,17 @@ object Components {
     * Returns assignments (doc_id, cluster_id) for every node in the graph.
     */
   def run(pairs: DataFrame, driverLocalMaxEdges: Long = DriverLocalMaxEdges): DataFrame = {
+    // NO input distinct: both paths tolerate duplicate edges (union on an
+    // already-joined pair is a no-op; each star round ends in its own
+    // distinct), so the pre-dedup exchange+aggregate the old plan paid on
+    // every call bought nothing — callers' pair tables are distinct by
+    // construction anyway. The path-decision count becomes an upper bound
+    // on distinct edges, which errs toward the distributed path
+    // (conservative), and the driver-local collect stays clamped by the
+    // same `driverLocalMaxEdges` rows either way.
     var edges = pairs
       .select(col("a").as("src"), col("b").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = edges.count() // materializes the cache; path decision
 

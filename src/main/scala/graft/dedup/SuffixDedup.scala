@@ -243,13 +243,22 @@ object SuffixDedup {
       reg: CacheRegistry = CacheRegistry.unmanaged,
       precomputedCandidates: Option[DataFrame] = None
   ): DataFrame = {
-    val candidates = precomputedCandidates.getOrElse(candidatePairs(docs, cfg, reg))
+    // spread BOTH join inputs: the suffix-automaton LCS is expensive PER ROW
+    // while both tables are tiny in BYTES, so byte-based partitioning (scan
+    // splits, AQE coalescing) would otherwise hand the whole verify stage to
+    // one task — whichever side the planner streams (it broadcasts the
+    // other) must already be spread, or the UDF stage inherits a single
+    // partition (the driver's round-6 bench measured this query bimodally
+    // at 0.9 s vs 12 s depending on which side was built). No-op when the
+    // inputs already have >= cluster parallelism partitions (at scale).
+    val ds = Par.spread(docs)
+    val candidates = Par.spread(precomputedCandidates.getOrElse(candidatePairs(ds, cfg, reg)))
     val minMatch = cfg.minMatch
     val lcsUdf = udf((x: String, y: String) =>
       if (x.length <= y.length) lcsLen(x, y) else lcsLen(y, x)
     )
-    val ca = docs.select(col("doc_id").as("a"), col("group"), col("content").as("content_a"))
-    val cb = docs.select(col("doc_id").as("b"), col("content").as("content_b"))
+    val ca = ds.select(col("doc_id").as("a"), col("group"), col("content").as("content_a"))
+    val cb = ds.select(col("doc_id").as("b"), col("content").as("content_b"))
     candidates
       .join(ca, "a")
       .join(cb, "b")
