@@ -55,8 +55,10 @@ object SparkEntry {
   // corpus to rebuild the identical (token, df) table (round-7: the setup
   // phase ran the regex tokenizer twice and the string-keyed dense-id rank
   // once per rep for no new information).
-  private val encBundleMemo = TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame, Long)]
-  private val lshPairsMemo = TrieMap.empty[(SparkSession, String), DataFrame]
+  /** (enc, vocab, vocabRows, encRows) for one (session, dir). */
+  private final case class EncBundle(enc: DataFrame, vocab: DataFrame, vocabRows: Long, encRows: Long)
+  private val encBundleMemo = TrieMap.empty[(SparkSession, String), EncBundle]
+  private val lshPairsMemo = TrieMap.empty[(SparkSession, String), (DataFrame, Long)]
   private val exactPairsMemo = TrieMap.empty[(SparkSession, String), DataFrame]
   private val winnowCandMemo = TrieMap.empty[(SparkSession, String), DataFrame]
   private val componentsMemo = TrieMap.empty[(SparkSession, String), DataFrame]
@@ -314,7 +316,7 @@ object SparkEntry {
     * and the vocab row count captured here feeds the encode-plan choice
     * without its own count job. Persisted + materialized once per
     * (session, dir). */
-  private def encBundle(s: SparkSession, dir: String): (DataFrame, DataFrame, Long) =
+  private def encBundle(s: SparkSession, dir: String): EncBundle =
     memo(encBundleMemo, s, dir) {
       val cfg = oracleLshCfg
       val base = transientReg.persist(
@@ -324,19 +326,22 @@ object SparkEntry {
           Tokenize.tokenSet(col("text"), cfg.shingleK).as("tokens")
         ).filter(size(col("tokens")) > 0)
       )
-      val vocab = sharedReg.persist(Vocabulary.build(base, cfg, transientReg))
-      val vocabRows = vocab.count()
-      val enc = shared(Vocabulary.encode(base, vocab, vocabRows = Some(vocabRows)))
-      (enc, vocab, vocabRows)
+      // vocabRows comes free from the dense-id stamp's per-partition count
+      // pass — no separate count job for the encode-plan choice
+      val (vocab0, vocabRows) = Vocabulary.buildWithCount(base, cfg, transientReg)
+      val vocab = sharedReg.persist(vocab0)
+      val enc = sharedReg.persist(Vocabulary.encode(base, vocab, vocabRows = Some(vocabRows)))
+      val encRows = enc.count() // materializes enc AND vocab (its input)
+      EncBundle(enc, vocab, vocabRows, encRows)
     }
 
   private[graft] def encCached(s: SparkSession, dir: String): DataFrame =
-    encBundle(s, dir)._1
+    encBundle(s, dir).enc
 
   /** Memoized vocabulary (token, df, token_id) + its row count. */
   private[graft] def vocabCached(s: SparkSession, dir: String): (DataFrame, Long) = {
     val b = encBundle(s, dir)
-    (b._2, b._3)
+    (b.vocab, b.vocabRows)
   }
 
   /** Memoized MinHash-LSH verified pair table at [[oracleLshCfg]] — shared
@@ -344,15 +349,27 @@ object SparkEntry {
     * candidates → verify chain runs ONCE per (session, dir) instead of per
     * query (the round-4 q25 regression: each family member rebuilt it). */
   private[graft] def lshVerifiedCached(s: SparkSession, dir: String): DataFrame =
+    lshVerifiedWithCount(s, dir)._1
+
+  /** The memoized LSH-verified pair table plus its exact row count (the
+    * materializing count is captured, not re-run) — the count is a proven
+    * edge bound for the components family's driver-local path. */
+  private[graft] def lshVerifiedWithCount(s: SparkSession, dir: String): (DataFrame, Long) =
     memo(lshPairsMemo, s, dir) {
       val cfg = oracleLshCfg
-      val enc = encCached(s, dir)
+      val b = encBundle(s, dir)
       // persisted: at this config candidatePairs takes the first-collision
-      // path, whose eager oversized-bucket pre-pass would otherwise compute
-      // the whole minhash chain once for the probe and AGAIN for the pair
-      // job. Transient — dead once shared() below has materialized.
-      val sigs = transientReg.persist(MinHash.withSignature(enc, cfg))
-      shared(Jaccard.verifyCounts(MinHash.candidatePairs(sigs, cfg), enc, cfg.threshold))
+      // path; the known doc count bounds every band bucket's size, so when
+      // it is <= maxBucket the oversized-bucket probe job is skipped
+      // entirely (PairGen proves the set empty by arithmetic). Transient —
+      // dead once the count below has materialized.
+      val sigs = transientReg.persist(MinHash.withSignature(b.enc, cfg))
+      val pairs = sharedReg.persist(Jaccard.verifyCounts(
+        MinHash.candidatePairs(sigs, cfg, docCountBound = b.encRows),
+        b.enc,
+        cfg.threshold
+      ))
+      (pairs, pairs.count())
     }
 
   /** Memoized exact within-lang Jaccard pair table at threshold 0.5 — the
@@ -379,14 +396,21 @@ object SparkEntry {
         val enc = encCached(s, dir)
         // rare-first eids: rank the dense token ids by (df, token_id). The
         // token ids are assigned in token-ascending order, so (df, token_id)
-        // is the same total order as the old (df, token) string rank.
-        val ranked =
-          Ids.assignDense(vocab.select(col("token_id"), col("df")), Seq("df", "token_id"), "eid", transientReg)
-        val remap = new Array[Int](vocabRows.toInt)
-        ranked
-          .select(col("token_id").cast("int"), col("eid").cast("int"))
+        // is the same total order as the old (df, token) string rank. The
+        // rank is computed on the DRIVER from the collected skinny
+        // (token_id, df) table — this path is gated on vocabRows <=
+        // broadcastMaxVocab, the same bound under which the encode already
+        // collects the full dictionary, so the sort is bounded arithmetic
+        // (<= 8M longs), and it replaces the distributed range-stamp's
+        // persist + sample + count jobs with the one collect we need anyway.
+        val tidDf = vocab
+          .select(col("token_id").cast("int"), col("df"))
           .collect()
-          .foreach(r => remap(r.getInt(0)) = r.getInt(1))
+          .map(r => (r.getInt(0), r.getLong(1)))
+          .sortBy { case (tid, df) => (df, tid) }
+        val remap = new Array[Int](vocabRows.toInt)
+        var eid = 0
+        tidDf.foreach { case (tid, _) => remap(tid) = eid; eid += 1 }
         val bRemap = s.sparkContext.broadcast(remap)
         val remapUdf = udf { (tokens: Seq[Int]) =>
           val m = bRemap.value
@@ -433,9 +457,10 @@ object SparkEntry {
     * re-ran the identical connected-components pass (distinct + collect +
     * union-find + relabel join) on the same memoized pair table. */
   private[graft] def componentsCached(s: SparkSession, dir: String): DataFrame =
-    memo(componentsMemo, s, dir)(
-      shared(Components.assignAll(encCached(s, dir), lshVerifiedCached(s, dir)))
-    )
+    memo(componentsMemo, s, dir) {
+      val (pairs, nPairs) = lshVerifiedWithCount(s, dir)
+      shared(Components.assignAll(encCached(s, dir), pairs, knownEdgeBound = nPairs))
+    }
 
   private val tokFilterSql =
     s"""length(token) > 1 AND NOT regexp_matches(token, '^[0-9]+$$')
@@ -811,17 +836,20 @@ object SparkEntry {
     // exactly the property being checked.
     "q25b_components_incremental" -> ((s, dir) => {
       val enc = encCached(s, dir)
-      val pairs = lshVerifiedCached(s, dir)
+      val (pairs, nPairs) = lshVerifiedWithCount(s, dir)
       val late = col("doc_id") % 11 === 0
       val baseDocs = enc.filter(!late).select("doc_id")
       val newDocs = enc.filter(late).select("doc_id")
       val basePairs = pairs.filter(col("a") % 11 =!= 0 && col("b") % 11 =!= 0)
       val deltaPairs = pairs.filter(col("a") % 11 === 0 || col("b") % 11 === 0)
+      // the memoized pair count bounds both filtered subsets, so both CC
+      // fixpoints skip their path-decision count jobs (Components.run)
       Components.merge(
-        Components.assignAll(baseDocs, basePairs),
+        Components.assignAll(baseDocs, basePairs, knownEdgeBound = nPairs),
         deltaPairs,
         newDocs,
-        reg = transientReg
+        reg = transientReg,
+        knownPairBound = nPairs
       )
     }),
     // Dedup survivorship: collapse each near-dup cluster (q25's assignment)

@@ -131,10 +131,62 @@ object Components {
     * Above it, the O(log n) star-contraction runs distributed. */
   val DriverLocalMaxEdges = 5000000L
 
+  /** Driver-local tail: union-find over collected edge rows, re-distributed
+    * as a sliced ParallelCollectionRDD. `rows` length is clamped by the
+    * caller to driverLocalMaxEdges/Int range. */
+  private def driverLocalAssign(spark0: org.apache.spark.sql.SparkSession, rows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    import spark0.implicits._
+    // primitive arrays end to end: the round-3 HashMap[Long, Long] spent
+    // most of this path's wall boxing — this is SERIAL driver time that
+    // lands identically in every scaling leg, the exact cost class the
+    // efficiency gate punishes
+    val n = rows.length
+    val srcs = new Array[Long](n)
+    val dsts = new Array[Long](n)
+    var i = 0
+    while (i < n) { val r = rows(i); srcs(i) = r.getLong(0); dsts(i) = r.getLong(1); i += 1 }
+    val uf = new LongUnionFind(n * 2)
+    i = 0
+    while (i < n) { uf.union(srcs(i), dsts(i)); i += 1 }
+    // distinct nodes via primitive sort + adjacent-skip (no boxing)
+    val nodes = new Array[Long](2 * n)
+    System.arraycopy(srcs, 0, nodes, 0, n)
+    System.arraycopy(dsts, 0, nodes, n, n)
+    java.util.Arrays.sort(nodes)
+    val assignments = Array.newBuilder[(Long, Long)]
+    assignments.sizeHint(2 * n)
+    i = 0
+    while (i < nodes.length) {
+      if (i == 0 || nodes(i) != nodes(i - 1)) assignments += ((nodes(i), uf.find(nodes(i))))
+      i += 1
+    }
+    val out = assignments.result()
+    // parallelize with explicit slicing, NOT toDF: a LocalRelation ships
+    // the whole node->cluster map inside one task (round 1 logged 12 MB
+    // tasks); ParallelCollectionRDD serializes only each task's slice.
+    // ~20k rows/slice keeps serialized task size well under Spark's
+    // 1000 KiB advisory (50k sliced at ~1.2 MB and warned every bench run)
+    val slices = math.max(
+      spark0.sparkContext.defaultParallelism,
+      (out.length / 20000) + 1
+    )
+    spark0.sparkContext
+      .parallelize(out.toIndexedSeq, slices)
+      .toDF("doc_id", "cluster_id")
+  }
+
   /** pairs: any DataFrame with (a, b) doc-id edge columns.
     * Returns assignments (doc_id, cluster_id) for every node in the graph.
-    */
-  def run(pairs: DataFrame, driverLocalMaxEdges: Long = DriverLocalMaxEdges): DataFrame = {
+    *
+    * `knownEdgeBound`: a PROVEN upper bound on the edge count (e.g. the
+    * caller's already-counted pair table). When it fits the driver-local
+    * clamp the whole persist + count + collect sequence collapses to one
+    * collect job — the count job existed only to make that path decision. */
+  def run(
+      pairs: DataFrame,
+      driverLocalMaxEdges: Long = DriverLocalMaxEdges,
+      knownEdgeBound: Long = Long.MaxValue
+  ): DataFrame = {
     // NO input distinct: both paths tolerate duplicate edges (union on an
     // already-joined pair is a no-op; each star round ends in its own
     // distinct), so the pre-dedup exchange+aggregate the old plan paid on
@@ -143,57 +195,22 @@ object Components {
     // on distinct edges, which errs toward the distributed path
     // (conservative), and the driver-local collect stays clamped by the
     // same `driverLocalMaxEdges` rows either way.
-    var edges = pairs
+    val edgesPlan = pairs
       .select(col("a").as("src"), col("b").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nEdges = edges.count() // materializes the cache; path decision
-
     // the driver-local path indexes primitive arrays, so it is additionally
     // clamped to Int range: a caller-raised driverLocalMaxEdges above 2^31-1
     // must take the distributed path, not silently truncate `n`
-    if (nEdges <= math.min(driverLocalMaxEdges, Int.MaxValue.toLong)) {
-      // primitive arrays end to end: the round-3 HashMap[Long, Long] spent
-      // most of this path's wall boxing — this is SERIAL driver time that
-      // lands identically in every scaling leg, the exact cost class the
-      // efficiency gate punishes
-      val n = nEdges.toInt
-      val srcs = new Array[Long](n)
-      val dsts = new Array[Long](n)
-      val rows = edges.collect() // one job; rows are transient, arrays stay
-      var i = 0
-      while (i < n) { val r = rows(i); srcs(i) = r.getLong(0); dsts(i) = r.getLong(1); i += 1 }
+    val cap = math.min(driverLocalMaxEdges, Int.MaxValue.toLong)
+    if (knownEdgeBound <= cap)
+      return driverLocalAssign(pairs.sparkSession, edgesPlan.collect())
+
+    var edges = edgesPlan.persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = edges.count() // materializes the cache; path decision
+    if (nEdges <= cap) {
+      val rows = edges.collect() // one job over the cache
       edges.unpersist()
-      val uf = new LongUnionFind(n * 2)
-      i = 0
-      while (i < n) { uf.union(srcs(i), dsts(i)); i += 1 }
-      // distinct nodes via primitive sort + adjacent-skip (no boxing)
-      val nodes = new Array[Long](2 * n)
-      System.arraycopy(srcs, 0, nodes, 0, n)
-      System.arraycopy(dsts, 0, nodes, n, n)
-      java.util.Arrays.sort(nodes)
-      val assignments = Array.newBuilder[(Long, Long)]
-      assignments.sizeHint(2 * n)
-      i = 0
-      while (i < nodes.length) {
-        if (i == 0 || nodes(i) != nodes(i - 1)) assignments += ((nodes(i), uf.find(nodes(i))))
-        i += 1
-      }
-      val out = assignments.result()
-      val spark0 = pairs.sparkSession
-      import spark0.implicits._
-      // parallelize with explicit slicing, NOT toDF: a LocalRelation ships
-      // the whole node->cluster map inside one task (round 1 logged 12 MB
-      // tasks); ParallelCollectionRDD serializes only each task's slice.
-      // ~20k rows/slice keeps serialized task size well under Spark's
-      // 1000 KiB advisory (50k sliced at ~1.2 MB and warned every bench run)
-      val slices = math.max(
-        spark0.sparkContext.defaultParallelism,
-        (out.length / 20000) + 1
-      )
-      return spark0.sparkContext
-        .parallelize(out.toIndexedSeq, slices)
-        .toDF("doc_id", "cluster_id")
+      return driverLocalAssign(pairs.sparkSession, rows)
     }
 
     // Size the loop's shuffle parallelism to the EDGE data, not the session
@@ -236,9 +253,10 @@ object Components {
   def assignAll(
       docs: DataFrame,
       pairs: DataFrame,
-      driverLocalMaxEdges: Long = DriverLocalMaxEdges
+      driverLocalMaxEdges: Long = DriverLocalMaxEdges,
+      knownEdgeBound: Long = Long.MaxValue
   ): DataFrame = {
-    val cc = run(pairs, driverLocalMaxEdges)
+    val cc = run(pairs, driverLocalMaxEdges, knownEdgeBound)
     docs
       .select(col("doc_id"))
       .join(cc, Seq("doc_id"), "left")
@@ -320,7 +338,8 @@ object Components {
       newPairs: DataFrame,
       newDocs: DataFrame,
       driverLocalMaxEdges: Long = DriverLocalMaxEdges,
-      reg: CacheRegistry = CacheRegistry.unmanaged
+      reg: CacheRegistry = CacheRegistry.unmanaged,
+      knownPairBound: Long = Long.MaxValue
   ): DataFrame = {
     val ex = reg.persist(existing)
     val touched = reg.persist(
@@ -335,8 +354,13 @@ object Components {
       .join(touched.hint("shuffle_hash"), "doc_id")
       .filter(col("doc_id") =!= col("cluster_id")) // self-anchors add nothing
       .select(col("doc_id").as("a"), col("cluster_id").as("b"))
+    // delta graph size <= |newPairs| + |anchor| <= |newPairs| + |touched|
+    // <= 3 * |newPairs| — a caller's pair-count bound carries through
+    // (saturating: no overflow near Long.MaxValue)
+    val deltaBound =
+      if (knownPairBound > Long.MaxValue / 3) Long.MaxValue else 3 * knownPairBound
     val delta = reg.persist(
-      run(newPairs.select("a", "b").unionByName(anchor), driverLocalMaxEdges)
+      run(newPairs.select("a", "b").unionByName(anchor), driverLocalMaxEdges, deltaBound)
     )
 
     // old cluster ids absorbed into a (necessarily smaller-or-equal) new id:

@@ -42,7 +42,18 @@ object Ids {
       sortCols: Seq[String],
       idCol: String,
       reg: CacheRegistry = CacheRegistry.unmanaged
-  ): DataFrame = {
+  ): DataFrame =
+    assignDenseWithCount(df, sortCols, idCol, reg)._1
+
+  /** [[assignDense]] plus the input's exact row count — free: the stamp's
+    * per-partition count pass already totals it, so callers that need the
+    * cardinality (e.g. the encode-plan choice) skip a separate count job. */
+  def assignDenseWithCount(
+      df: DataFrame,
+      sortCols: Seq[String],
+      idCol: String,
+      reg: CacheRegistry = CacheRegistry.unmanaged
+  ): (DataFrame, Long) = {
     // the sampling pass of repartitionByRange re-executes the input lineage;
     // persist so an upstream aggregate is computed once
     val input = reg.persist(df)
@@ -75,7 +86,7 @@ object Ids {
       df.repartition(col(sortCols.head))
     )
     val keyCnt = base.groupBy(sortCols.map(col): _*).agg(count(lit(1)).as("__cnt"))
-    val keyIds = stampDense(keyCnt, sortCols, idCol, reg)
+    val keyIds = stampDense(keyCnt, sortCols, idCol, reg)._1
     val hasDups = dropDuplicateKeys &&
       keyIds.filter(col("__cnt") > 1).limit(1).count() > 0
     val deduped = if (hasDups) base.dropDuplicates(sortCols) else base
@@ -115,7 +126,7 @@ object Ids {
       sortCols: Seq[String],
       idCol: String,
       reg: CacheRegistry
-  ): DataFrame = {
+  ): (DataFrame, Long) = {
     val cols = sortCols.map(col)
     val sorted = reg.persist(
       input
@@ -154,7 +165,7 @@ object Ids {
       sorted.schema.fields.filterNot(_.name == "__pid") :+
         StructField(idCol, LongType, nullable = false)
     )
-    sorted.mapPartitions { it =>
+    val stamped = sorted.mapPartitions { it =>
       var next = -1L
       it.map { r =>
         if (next < 0) next = bOffsets.value.getOrElse(r.getInt(pidIdx), 0L)
@@ -163,5 +174,6 @@ object Ids {
         out
       }
     }(Encoders.row(outSchema))
+    (stamped, counts.foldLeft(0L)(_ + _._2))
   }
 }

@@ -105,12 +105,14 @@ object MinHash {
     * non-oversized band instead, paying a wider band-row exchange (the
     * carried hash array). At production banding (32x4) the measured
     * duplication is only 1.92x and the narrow exchange wins. */
-  def candidatePairs(signatures: DataFrame, cfg: Config): DataFrame =
+  def candidatePairs(signatures: DataFrame, cfg: Config, docCountBound: Long = Long.MaxValue): DataFrame =
     if (cfg.rowsPerBand <= 2)
       PairGen.pairsFromBandBucketsFirstCollision(
         bandRowsWithHashes(signatures, cfg),
         groupCols = Seq("group"),
-        maxBucket = cfg.maxBucket
+        maxBucket = cfg.maxBucket,
+        // one row per doc per band bucket: the doc count bounds bucket size
+        bucketSizeBound = docCountBound
       )
     else
       PairGen.pairsFromBuckets(

@@ -210,19 +210,30 @@ object PairGen {
   def pairsFromBandBucketsFirstCollision(
       rows: DataFrame,
       groupCols: Seq[String],
-      maxBucket: Int
+      maxBucket: Int,
+      bucketSizeBound: Long = Long.MaxValue
   ): DataFrame = {
     val keyCols = groupCols ++ Seq("band", "band_hash")
     val keys = keyCols.map(col)
     val spark = rows.sparkSession
     import spark.implicits._
 
-    val oversizedDf = rows
-      .groupBy(keys: _*)
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") > maxBucket)
-      .select(keys: _*)
-    val oversizedRows = oversizedDf.limit((OversizedBroadcastMax + 1).toInt).collect()
+    // A doc contributes at most ONE row per (band) bucket, so any upper
+    // bound on the doc count bounds every bucket's size. When the caller
+    // proves bucketSizeBound <= maxBucket, no bucket can be oversized and
+    // the probe aggregation + collect below is a job spent learning an
+    // empty set — skip it (arithmetic, not an estimate: the generator's cap
+    // state machine still runs, it just never fires).
+    val oversizedRows: Array[org.apache.spark.sql.Row] =
+      if (bucketSizeBound <= maxBucket) Array.empty
+      else {
+        val oversizedDf = rows
+          .groupBy(keys: _*)
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") > maxBucket)
+          .select(keys: _*)
+        oversizedDf.limit((OversizedBroadcastMax + 1).toInt).collect()
+      }
     if (oversizedRows.length > OversizedBroadcastMax)
       return pairsFromBuckets(rows.drop("bhs"), keyCols, maxBucket)
     val nGroup = groupCols.length

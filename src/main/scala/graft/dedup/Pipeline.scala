@@ -272,7 +272,10 @@ object Pipeline {
     reg.release()
 
     val components = Checkpoints.stage(spark, "components", p("components"), Nil, Seq(p("pairs")), sig("components"))(
-      Components.assignAll(encoded, pairs)
+      // the pairs stage's sidecar row count is a proven edge bound: when it
+      // fits the driver-local clamp, Components.run skips its path-decision
+      // count job and collects the edge set directly
+      Components.assignAll(encoded, pairs, knownEdgeBound = Checkpoints.stageRowCount(spark, p("pairs")))
     )
 
     // Optional third detector: substring near-clones (separate pair table —

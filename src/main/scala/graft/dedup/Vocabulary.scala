@@ -29,13 +29,23 @@ object Vocabulary {
     * boilerplate cap applies to SIGNATURES only (see [[hotTokenIds]]) so the
     * verification sets keep full reference semantics.
     */
-  def build(docs: DataFrame, cfg: Config, reg: CacheRegistry = CacheRegistry.unmanaged): DataFrame = {
+  def build(docs: DataFrame, cfg: Config, reg: CacheRegistry = CacheRegistry.unmanaged): DataFrame =
+    buildWithCount(docs, cfg, reg)._1
+
+  /** [[build]] plus the vocabulary's exact row count — free (the dense-id
+    * stamp already totals its per-partition counts), so callers can feed the
+    * encode-plan choice without a separate count job. */
+  def buildWithCount(
+      docs: DataFrame,
+      cfg: Config,
+      reg: CacheRegistry = CacheRegistry.unmanaged
+  ): (DataFrame, Long) = {
     val df = docs
       .select(explode(col("tokens")).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= cfg.minDf)
-    Ids.assignDense(df, Seq("token"), "token_id", reg)
+    Ids.assignDenseWithCount(df, Seq("token"), "token_id", reg)
   }
 
   /** Token ids too common to carry signal: df > maxDf * nDocs. By pigeonhole
