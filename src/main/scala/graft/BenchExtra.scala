@@ -79,6 +79,26 @@ object BenchExtra {
         stages.toSeq.sortBy(_._1).foreach { case (st, ms) =>
           println(f"[bench-extra]   stage $st%-12s ${ms / 1000.0}%.1f s")
         }
+      // Bench-shaped leg protocol in ONE JVM (warmup per level, then
+      // interleaved 2/8 pairs) with per-stage walls per leg — for decomposing
+      // the per-leg fixed cost without touching the frozen Bench.
+      case "legs" :: nFiles :: pairs :: _ =>
+        val n = nFiles.toLong
+        def leg(cpus: Int, label: String): Double = {
+          val (secs, stages, _) = Bench.pipelineRun(cpus, n)
+          println(f"[bench-extra] $label local[$cpus] $n files ${secs}%.1f s")
+          stages.toSeq.sortBy(_._1).foreach { case (st, ms) =>
+            println(f"[bench-extra]   stage $st%-12s ${ms / 1000.0}%.1f s")
+          }
+          secs
+        }
+        leg(2, "warmup"); leg(8, "warmup")
+        val t2 = Seq.newBuilder[Double]; val t8 = Seq.newBuilder[Double]
+        (1 to pairs.toInt).foreach { p =>
+          t2 += leg(2, s"pair$p"); t8 += leg(8, s"pair$p")
+        }
+        val m2 = Bench.median(t2.result()); val m8 = Bench.median(t8.result())
+        println(f"[bench-extra] legs median t2=${m2}%.1f t8=${m8}%.1f ratio=${m2 / m8}%.2f eff=${m2 / m8 / 4}%.3f")
       case "explain" :: names :: outDir :: suffix :: _ =>
         val spark = session()
         SparkEntry.warmSharedCaches(spark, sfDir)
