@@ -62,6 +62,12 @@ object SparkEntry {
   private val exactPairsMemo = TrieMap.empty[(SparkSession, String), DataFrame]
   private val winnowCandMemo = TrieMap.empty[(SparkSession, String), DataFrame]
   private val componentsMemo = TrieMap.empty[(SparkSession, String), DataFrame]
+  // The deterministic sqrt(n)-sized coarse quantizer over the embeddings
+  // table: q36 (IVF) and q37 (SemDeDup) each ran an identical sizing count
+  // job + centroid collect on the same input — pure driver-side state (a few
+  // hundred centroid vectors), shared like the chains above.
+  private val embCentroidsMemo =
+    TrieMap.empty[(SparkSession, String), Array[(Long, Array[Double])]]
 
   /** Unpersist the CALLING THREAD's per-query scaffolding caches. Call after
     * each query's action, from the thread that built and materialized it. */
@@ -70,7 +76,7 @@ object SparkEntry {
   /** Unpersist + forget the memoized cross-query intermediates. */
   def releaseSharedCaches(): Unit = {
     encBundleMemo.clear(); lshPairsMemo.clear(); exactPairsMemo.clear()
-    winnowCandMemo.clear(); componentsMemo.clear()
+    winnowCandMemo.clear(); componentsMemo.clear(); embCentroidsMemo.clear()
     sharedReg.release()
   }
 
@@ -86,6 +92,7 @@ object SparkEntry {
     exactPairsCached(s, dir)
     winnowCandCached(s, dir)
     componentsCached(s, dir)
+    embCentroidsCached(s, dir)
     releaseTransientCaches()
   }
 
@@ -460,6 +467,21 @@ object SparkEntry {
     memo(componentsMemo, s, dir) {
       val (pairs, nPairs) = lshVerifiedWithCount(s, dir)
       shared(Components.assignAll(encCached(s, dir), pairs, knownEdgeBound = nPairs))
+    }
+
+  /** Memoized sqrt(n) coarse quantizer over the embeddings table — the
+    * exact centroids q36 and q37 would each recompute: n from one count,
+    * nc = max(16, ceil(sqrt(n))) (the operators' shared adaptive default),
+    * centroids = the nc lowest-vec_id embeddings. A pure function of the
+    * input table, so the consumers' outputs are bitwise unchanged. */
+  private[graft] def embCentroidsCached(
+      s: SparkSession,
+      dir: String
+  ): Array[(Long, Array[Double])] =
+    memo(embCentroidsMemo, s, dir) {
+      val emb = t(s, dir, "embeddings")
+      val nc = math.max(16, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+      graft.ops.Similarity.centroids(emb, nc)
     }
 
   private val tokFilterSql =
@@ -916,7 +938,8 @@ object SparkEntry {
     // from the table itself, including the sqrt sizing rule.
     "q36_ivf_cosine_top3" -> ((s, dir) =>
       Similarity
-        .ivfCosineTopK(t(s, dir, "embeddings"), k = 3, nProbe = 4, reg = transientReg)
+        .ivfCosineTopK(t(s, dir, "embeddings"), k = 3, nProbe = 4, reg = transientReg,
+          knownCentroids = embCentroidsCached(s, dir))
         .select(col("vec_id"), col("neighbor"), col("rank").cast("long").as("rnk"))),
 
     // ---- composite group keys + group stats with distinct participants ----
@@ -1131,7 +1154,8 @@ object SparkEntry {
     // lowest vec_id — sub-quadratic (~n^1.5) semantic dedup, the embedding
     // sibling of the MinHash/SimHash detectors.
     "q37_semdedup" -> ((s, dir) =>
-      Similarity.semDedup(t(s, dir, "embeddings"), minCosine = 0.35, reg = transientReg))
+      Similarity.semDedup(t(s, dir, "embeddings"), minCosine = 0.35, reg = transientReg,
+        knownCentroids = embCentroidsCached(s, dir)))
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -319,13 +319,24 @@ object Similarity {
       nProbe: Int = 4,
       refineIters: Int = 0, // k-means refinement passes over the quantizer;
       // 0 keeps the pure-function-of-input contract the q36 oracle needs
-      reg: graft.dedup.CacheRegistry = graft.dedup.CacheRegistry.unmanaged
+      reg: graft.dedup.CacheRegistry = graft.dedup.CacheRegistry.unmanaged,
+      // Precomputed coarse centroids (as produced by [[centroids]] at the
+      // adaptive sqrt(n) size): callers that run several quantized operators
+      // over ONE embeddings table pass them once, skipping this operator's
+      // sizing count job and centroid collect. null = compute here
+      // (identical result: the quantizer is a pure function of the input).
+      knownCentroids: Array[(Long, Array[Double])] = null
   ): DataFrame = {
-    val nc =
-      if (nCentroids > 0) nCentroids
-      else math.max(16, math.ceil(math.sqrt(embeddings.count().toDouble)).toInt)
+    val base: Array[(Long, Array[Double])] =
+      if (knownCentroids != null) knownCentroids
+      else {
+        val nc =
+          if (nCentroids > 0) nCentroids
+          else math.max(16, math.ceil(math.sqrt(embeddings.count().toDouble)).toInt)
+        centroids(embeddings, nc)
+      }
     val cents: Array[(Long, Array[Double])] =
-      refineCentroids(embeddings, centroids(embeddings, nc), refineIters)
+      refineCentroids(embeddings, base, refineIters)
     val spark = embeddings.sparkSession
     val bCents = spark.sparkContext.broadcast(cents)
     val np = nProbe
@@ -433,12 +444,18 @@ object Similarity {
       embeddings: DataFrame,
       minCosine: Double,
       nCentroids: Int = 0,
-      reg: graft.dedup.CacheRegistry = graft.dedup.CacheRegistry.unmanaged
+      reg: graft.dedup.CacheRegistry = graft.dedup.CacheRegistry.unmanaged,
+      // precomputed quantizer — same contract as [[ivfCosineTopK]]'s param
+      knownCentroids: Array[(Long, Array[Double])] = null
   ): DataFrame = {
-    val nc =
-      if (nCentroids > 0) nCentroids
-      else math.max(16, math.ceil(math.sqrt(embeddings.count().toDouble)).toInt)
-    val cents = centroids(embeddings, nc)
+    val cents =
+      if (knownCentroids != null) knownCentroids
+      else {
+        val nc =
+          if (nCentroids > 0) nCentroids
+          else math.max(16, math.ceil(math.sqrt(embeddings.count().toDouble)).toInt)
+        centroids(embeddings, nc)
+      }
     val spark = embeddings.sparkSession
     val bCents = spark.sparkContext.broadcast(cents)
     val nearestUdf = udf { (emb: Seq[Float]) =>

@@ -132,6 +132,28 @@ class OpsSpec extends SparkSpec {
     assert(refined >= base - 0.15, s"refinement degraded recall: $base -> $refined")
   }
 
+  test("precomputed quantizer (knownCentroids) is output-identical for IVF and SemDeDup") {
+    // the shared-quantizer path (SparkEntry memoizes one count + centroid
+    // collect for q36/q37) must be a pure plumbing change: same centroids in,
+    // bitwise-same rows out
+    val nc = math.max(16, math.ceil(math.sqrt(embeddings.count().toDouble)).toInt)
+    val cents = Similarity.centroids(embeddings, nc)
+    val ivfDefault = Similarity
+      .ivfCosineTopK(embeddings, k = 2, nProbe = 4)
+      .select("vec_id", "neighbor", "rank").as[(Long, Long, Int)].collect().sorted
+    val ivfKnown = Similarity
+      .ivfCosineTopK(embeddings, k = 2, nProbe = 4, knownCentroids = cents)
+      .select("vec_id", "neighbor", "rank").as[(Long, Long, Int)].collect().sorted
+    assert(ivfKnown.sameElements(ivfDefault), "IVF with knownCentroids diverged from the default path")
+    val sdDefault = Similarity
+      .semDedup(embeddings, minCosine = 0.35)
+      .select("vec_id", "cid", "kept").as[(Long, Long, Boolean)].collect().sorted
+    val sdKnown = Similarity
+      .semDedup(embeddings, minCosine = 0.35, knownCentroids = cents)
+      .select("vec_id", "cid", "kept").as[(Long, Long, Boolean)].collect().sorted
+    assert(sdKnown.sameElements(sdDefault), "SemDeDup with knownCentroids diverged from the default path")
+  }
+
   test("SemDeDup equals the naive keep-lowest-id rule and removes planted near-dups") {
     // real embeddings + planted near-identical twins of three originals
     // (tiny perturbation keeps cosine ~0.9999, far above the threshold)
